@@ -1,0 +1,43 @@
+"""Parity of the JAX bilinear sampler with torch.nn.functional.grid_sample
+(mode=bilinear, padding_mode=zeros, align_corners=True) — the exact op the
+reference projector relies on."""
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from nerfool_tpu.ops.grid_sample import grid_sample_bilinear
+
+
+def _torch_grid_sample(image, grid):
+    # image [C,H,W], grid [..., 2]
+    img_t = torch.from_numpy(image)[None]
+    grid_t = torch.from_numpy(grid.reshape(1, 1, -1, 2))
+    out = F.grid_sample(img_t, grid_t, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)
+    return out[0, :, 0, :].T.numpy().reshape(grid.shape[:-1] + (image.shape[0],))
+
+
+def test_matches_torch_inbounds(rng):
+    image = rng.randn(5, 17, 23).astype(np.float32)
+    grid = rng.uniform(-0.99, 0.99, size=(7, 11, 2)).astype(np.float32)
+    ours = np.asarray(grid_sample_bilinear(jnp.asarray(image), jnp.asarray(grid)))
+    ref = _torch_grid_sample(image, grid)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_matches_torch_out_of_bounds(rng):
+    image = rng.randn(3, 9, 13).astype(np.float32)
+    grid = rng.uniform(-1.8, 1.8, size=(50, 2)).astype(np.float32)
+    ours = np.asarray(grid_sample_bilinear(jnp.asarray(image), jnp.asarray(grid)))
+    ref = _torch_grid_sample(image, grid)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_exact_corners(rng):
+    image = rng.randn(2, 6, 8).astype(np.float32)
+    # grid (-1,-1) -> pixel (0,0); (1,1) -> pixel (W-1,H-1)
+    grid = np.array([[-1.0, -1.0], [1.0, 1.0]], dtype=np.float32)
+    out = np.asarray(grid_sample_bilinear(jnp.asarray(image), jnp.asarray(grid)))
+    np.testing.assert_allclose(out[0], image[:, 0, 0], rtol=1e-6)
+    np.testing.assert_allclose(out[1], image[:, -1, -1], rtol=1e-6)
