@@ -1,0 +1,178 @@
+"""GNT ray-transformer aggregator (Flax).
+
+Functional twin of the reference transformer network
+(/root/reference/gnt/transformer_network.py:205-309): a stack of alternating
+view transformers (subtraction attention over source views conditioned on
+ray-direction differences) and ray transformers (multi-head qk self-attention
+along the sample axis), with NeRF-style positional/view encodings injected every
+other block and the final ray-attention map optionally returned as per-sample
+weights ("learned density").
+
+Dropout is omitted: the attack/eval path always runs the reference networks in
+eval() mode, where dropout is the identity.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nerfool_tpu.models.layers import TorchLayerNorm
+
+
+def nerf_embed(x, num_freqs: int = 10, max_freq_log2: int = 9):
+    """NeRF sin/cos embedding, include_input, log-sampled (Embedder:6-37).
+
+    :param x: [..., D]
+    :return: [..., D * (1 + 2*num_freqs)]  (freq-major, sin before cos)
+    """
+    outs = [x]
+    freqs = 2.0 ** jnp.linspace(0.0, float(max_freq_log2), num_freqs)
+    for f in freqs:
+        outs.append(jnp.sin(x * f))
+        outs.append(jnp.cos(x * f))
+    return jnp.concatenate(outs, axis=-1)
+
+
+class FeedForward(nn.Module):
+    hid_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hid_dim, name="fc1")(x))
+        return nn.Dense(self.out_dim, name="fc2")(x)
+
+
+class ViewAttention(nn.Module):
+    """Subtraction-based attention over the source-view axis (Attention2D:55-89)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, q, k, pos, mask=None):
+        # q: [R, S, D]; k: [R, S, V, D]; pos: [R, S, V, 4]; mask: [R, S, V, 1]
+        qp = nn.Dense(self.dim, use_bias=False, name="q_fc")(q)
+        kp = nn.Dense(self.dim, use_bias=False, name="k_fc")(k)
+        v = nn.Dense(self.dim, use_bias=False, name="v_fc")(kp)
+        pos = nn.Dense(self.dim // 8, name="pos_fc0")(pos)
+        pos = nn.Dense(self.dim, name="pos_fc1")(nn.relu(pos))
+        attn = kp - qp[:, :, None, :] + pos
+        attn = nn.Dense(self.dim // 8, name="attn_fc0")(attn)
+        attn = nn.Dense(self.dim, name="attn_fc1")(nn.relu(attn))
+        if mask is not None:
+            attn = jnp.where(mask == 0, -1e9, attn)
+        attn = jax.nn.softmax(attn, axis=-2)  # over views
+        x = jnp.sum((v + pos) * attn, axis=2)  # [R, S, D]
+        return nn.Dense(self.dim, name="out_fc")(x)
+
+
+class ViewTransformer(nn.Module):
+    """Pre-LN view-transformer block (Transformer2D:93-113)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, q, k, pos, mask=None):
+        residue = q
+        x = TorchLayerNorm(name="attn_norm")(q)
+        x = ViewAttention(self.dim, name="attn")(x, k, pos, mask)
+        x = x + residue
+        residue = x
+        y = TorchLayerNorm(name="ff_norm")(x)
+        y = FeedForward(self.dim * 4, self.dim, name="ff")(y)
+        return y + residue
+
+
+class RayAttention(nn.Module):
+    """Multi-head qk self-attention along the sample axis (Attention:121-171)."""
+
+    dim: int
+    n_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, ret_attn=False):
+        r, s, _ = x.shape
+        hd = self.dim // self.n_heads
+        q = nn.Dense(self.dim, use_bias=False, name="q_fc")(x)
+        k = nn.Dense(self.dim, use_bias=False, name="k_fc")(x)
+        v = nn.Dense(self.dim, use_bias=False, name="v_fc")(x)
+        q = q.reshape(r, s, self.n_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(r, s, self.n_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(r, s, self.n_heads, hd).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("rhqd,rhkd->rhqk", q, k) / jnp.sqrt(float(hd))
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("rhqk,rhkd->rhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(r, s, self.dim)
+        out = nn.Dense(self.dim, name="out_fc")(out)
+        if ret_attn:
+            return out, attn
+        return out
+
+
+class RayTransformer(nn.Module):
+    """Pre-LN ray-transformer block (Transformer:175-202)."""
+
+    dim: int
+    n_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, ret_attn=False):
+        residue = x
+        y = TorchLayerNorm(name="attn_norm")(x)
+        y = RayAttention(self.dim, self.n_heads, name="attn")(y, ret_attn=ret_attn)
+        if ret_attn:
+            y, attn = y
+        x = y + residue
+        residue = x
+        y = TorchLayerNorm(name="ff_norm")(x)
+        y = FeedForward(self.dim * 4, self.dim, name="ff")(y)
+        x = y + residue
+        if ret_attn:
+            # mean over heads, first query token's attention row
+            return x, jnp.mean(attn, axis=1)[:, 0]
+        return x
+
+
+class GNTAggregator(nn.Module):
+    in_feat_ch: int = 32
+    netwidth: int = 64
+    trans_depth: int = 8
+    posenc_freqs: int = 10
+    ret_alpha: bool = True
+
+    @nn.compact
+    def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d):
+        """
+        :param rgb_feat: [R, S, V, 3 + in_feat_ch]
+        :param ray_diff: [R, S, V, 4]
+        :param mask: [R, S, V, 1]
+        :param pts: [R, S, 3] sample points (world)
+        :param ray_d: [R, 3] ray directions
+        :return: [R, 3] rgb, or [R, 3 + S] (rgb ++ per-sample weights) if ret_alpha
+        """
+        viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+        viewdirs = nerf_embed(viewdirs, self.posenc_freqs)  # [R, 63]
+        input_pts = nerf_embed(pts, self.posenc_freqs)  # [R, S, 63]
+        input_views = jnp.broadcast_to(viewdirs[:, None, :], input_pts.shape[:2] + (viewdirs.shape[-1],))
+
+        x = nn.Dense(self.netwidth, name="rgbfeat_fc0")(rgb_feat)
+        x = nn.Dense(self.netwidth, name="rgbfeat_fc1")(nn.relu(x))
+        q = jnp.max(x, axis=2)  # [R, S, D] max-pool over views
+
+        attn_out = None
+        for i in range(self.trans_depth):
+            q = ViewTransformer(self.netwidth, name=f"view_trans_{i}")(q, x, ray_diff, mask)
+            if i % 2 == 0:
+                q = jnp.concatenate([q, input_pts, input_views], axis=-1)
+                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_0")(q)
+                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_1")(nn.relu(q))
+            q = RayTransformer(self.netwidth, name=f"ray_trans_{i}")(q, ret_attn=self.ret_alpha)
+            if self.ret_alpha:
+                q, attn_out = q
+
+        h = TorchLayerNorm(name="norm")(q)
+        rgb = nn.Dense(3, name="rgb_fc")(jnp.mean(h, axis=1))
+        if self.ret_alpha:
+            return jnp.concatenate([rgb, attn_out], axis=1)
+        return rgb

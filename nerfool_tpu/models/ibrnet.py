@@ -1,0 +1,135 @@
+"""IBRNet aggregator (Flax).
+
+Per-sample-point multi-view aggregation matching the reference MLP network
+(/root/reference/ibrnet/mlp_network.py:152-274): ray-direction MLP added to the
+gathered features, anti-alias pooling weights, weighted mean/variance pooling,
+visibility MLPs, a sinusoid-positional-encoded 4-head self-attention along the
+ray (sample axis), and a per-view softmax color blend. All einsum/matmul shapes
+are [rays*samples, views, feat]-like so XLA batches them onto the MXU.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfool_tpu.models.layers import MLP, TorchLayerNorm
+
+
+def sinusoid_pos_encoding(n_samples: int, d_hid: int, dtype=jnp.float32):
+    """Sinusoid table over the sample axis (mlp_network.py:210-220)."""
+    position = np.arange(n_samples)[:, None]
+    hid = np.arange(d_hid)[None, :]
+    angle = position / np.power(10000.0, 2 * (hid // 2) / d_hid)
+    table = np.zeros((n_samples, d_hid), dtype=np.float64)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return jnp.asarray(table, dtype=dtype)
+
+
+def fused_mean_variance(x, weight):
+    """Weighted mean and (biased, around-weighted-mean) variance over views.
+
+    :param x: [R, S, V, F]; weight: [R, S, V, 1] summing to ~1 over V
+    :return: (mean [R, S, 1, F], var [R, S, 1, F])
+    """
+    mean = jnp.sum(x * weight, axis=2, keepdims=True)
+    var = jnp.sum(weight * (x - mean) ** 2, axis=2, keepdims=True)
+    return mean, var
+
+
+class MultiHeadAttention(nn.Module):
+    """Post-LN multi-head self-attention, torch-MHA-free (mlp_network.py:69-119)."""
+
+    n_head: int
+    d_model: int
+    d_k: int
+    d_v: int
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None):
+        b, lq = q.shape[0], q.shape[1]
+        residual = q
+        qh = nn.Dense(self.n_head * self.d_k, use_bias=False, name="w_qs")(q)
+        kh = nn.Dense(self.n_head * self.d_k, use_bias=False, name="w_ks")(k)
+        vh = nn.Dense(self.n_head * self.d_v, use_bias=False, name="w_vs")(v)
+        qh = qh.reshape(b, lq, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+        kh = kh.reshape(b, -1, self.n_head, self.d_k).transpose(0, 2, 1, 3)
+        vh = vh.reshape(b, -1, self.n_head, self.d_v).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhqd,bhkd->bhqk", qh / (self.d_k ** 0.5), kh)
+        if mask is not None:
+            # mask [B, Lq, 1] -> [B, 1, Lq, 1]: zero rows mask out entire queries
+            attn = jnp.where(mask[:, None] == 0, -1e9, attn)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, -1)
+        out = nn.Dense(self.d_model, use_bias=False, name="fc")(out)
+        out = out + residual
+        return TorchLayerNorm(name="layer_norm")(out), attn
+
+
+class IBRNetAggregator(nn.Module):
+    in_feat_ch: int = 32
+    anti_alias_pooling: bool = True
+
+    @nn.compact
+    def __call__(self, rgb_feat, ray_diff, mask):
+        """
+        :param rgb_feat: [R, S, V, 3 + in_feat_ch] gathered colors + features
+        :param ray_diff: [R, S, V, 4] direction difference (3) + dot (1)
+        :param mask: [R, S, V, 1] float validity
+        :return: raw [R, S, 4] (rgb, sigma)
+        """
+        num_views = rgb_feat.shape[2]
+        direction_feat = MLP([16, self.in_feat_ch + 3], act="elu", final_act="elu",
+                             name="ray_dir_fc")(ray_diff)
+        rgb_in = rgb_feat[..., :3]
+        rgb_feat = rgb_feat + direction_feat
+
+        if self.anti_alias_pooling:
+            s = self.param("s", nn.initializers.constant(0.2), ())
+            dot_prod = ray_diff[..., 3:4]
+            exp_dot = jnp.exp(jnp.abs(s) * (dot_prod - 1))
+            weight = (exp_dot - jnp.min(exp_dot, axis=2, keepdims=True)) * mask
+            weight = weight / (jnp.sum(weight, axis=2, keepdims=True) + 1e-8)
+        else:
+            weight = mask / (jnp.sum(mask, axis=2, keepdims=True) + 1e-8)
+
+        mean, var = fused_mean_variance(rgb_feat, weight)
+        globalfeat = jnp.concatenate([mean, var], axis=-1)  # [R,S,1,2F]
+        x = jnp.concatenate(
+            [jnp.broadcast_to(globalfeat, globalfeat.shape[:2] + (num_views,) + globalfeat.shape[3:]),
+             rgb_feat], axis=-1)
+        x = MLP([64, 32], act="elu", final_act="elu", name="base_fc")(x)
+
+        x_vis = MLP([32, 33], act="elu", final_act="elu", name="vis_fc")(x * weight)
+        x_res, vis = x_vis[..., :-1], x_vis[..., -1:]
+        vis = jax.nn.sigmoid(vis) * mask
+        x = x + x_res
+        vis = MLP([32, 1], act="elu", final_act="sigmoid", name="vis_fc2")(x * vis) * mask
+        weight = vis / (jnp.sum(vis, axis=2, keepdims=True) + 1e-8)
+
+        mean, var = fused_mean_variance(x, weight)
+        globalfeat = jnp.concatenate(
+            [mean.squeeze(2), var.squeeze(2), jnp.mean(weight, axis=2)], axis=-1
+        )  # [R, S, 32*2+1]
+        globalfeat = MLP([64, 16], act="elu", final_act="elu", name="geometry_fc")(globalfeat)
+        num_valid_obs = jnp.sum(mask, axis=2)  # [R, S, 1]
+        globalfeat = globalfeat + sinusoid_pos_encoding(
+            globalfeat.shape[1], 16, dtype=globalfeat.dtype
+        )[None]
+        attn_mask = (num_valid_obs > 1).astype(globalfeat.dtype)
+        globalfeat, _ = MultiHeadAttention(4, 16, 4, 4, name="ray_attention")(
+            globalfeat, globalfeat, globalfeat, mask=attn_mask
+        )
+        sigma = MLP([16, 1], act="elu", final_act="relu", name="out_geometry_fc")(globalfeat)
+        sigma_out = jnp.where(num_valid_obs < 1, 0.0, sigma)  # [R, S, 1]
+
+        x = jnp.concatenate([x, vis, ray_diff], axis=-1)
+        x = MLP([16, 8, 1], act="elu", name="rgb_fc")(x)
+        x = jnp.where(mask == 0, -1e9, x)
+        blending_weights = jax.nn.softmax(x, axis=2)
+        rgb_out = jnp.sum(rgb_in * blending_weights, axis=2)  # [R, S, 3]
+        return jnp.concatenate([rgb_out, sigma_out], axis=-1)

@@ -14,13 +14,14 @@ import jax.numpy as jnp
 def grid_sample_bilinear(image, grid):
     """Sample ``image`` at normalized locations ``grid``.
 
-    :param image: [C, H, W]
+    :param image: [H, W, C] (channels-last: gathers pull whole C-lanes per point,
+        the natural TPU layout)
     :param grid: [..., 2] normalized coords in [-1, 1], (x, y) order;
         align_corners=True convention: -1 -> pixel 0, +1 -> pixel (W-1 / H-1).
         Out-of-range locations contribute zeros per absent corner (zeros padding).
     :return: [..., C]
     """
-    c, h, w = image.shape
+    h, w, c = image.shape
     out_shape = grid.shape[:-1]
     gx = grid[..., 0].reshape(-1)
     gy = grid[..., 1].reshape(-1)
@@ -44,8 +45,8 @@ def grid_sample_bilinear(image, grid):
         valid = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
         xi = jnp.clip(xi, 0, w - 1)
         yi = jnp.clip(yi, 0, h - 1)
-        vals = image[:, yi, xi]  # [C, P]
-        return vals * (wgt * valid.astype(image.dtype))[None, :]
+        vals = image[yi, xi]  # [P, C]
+        return vals * (wgt * valid.astype(image.dtype))[:, None]
 
     out = (
         corner(x0, y0, wx0 * wy0)
@@ -53,4 +54,4 @@ def grid_sample_bilinear(image, grid):
         + corner(x0, y1, wx0 * wy1)
         + corner(x1, y1, wx1 * wy1)
     )
-    return out.T.reshape(out_shape + (c,))
+    return out.reshape(out_shape + (c,))

@@ -89,8 +89,8 @@ def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
     :param query_camera: [34] target camera
     :param src_rgbs: [V, H, W, 3] source images
     :param src_cameras: [V, 34]
-    :param featmaps: [V, C, Hf, Wf] feature maps (any resolution; normalized
-        coords make the gather resolution-agnostic, as in F.grid_sample)
+    :param featmaps: [V, Hf, Wf, C] feature maps, channels-last (any resolution;
+        normalized coords make the gather resolution-agnostic, as in F.grid_sample)
     :param stop_camera_grad: detach source cameras (IBRNet semantics)
     :return: (rgb_feat [n_rays, n_samples, V, 3+C],
               ray_diff [n_rays, n_samples, V, 4],
@@ -105,8 +105,7 @@ def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
     resize = jnp.stack([w - 1.0, h - 1.0])
     norm_pix = 2.0 * pix / resize - 1.0
 
-    images = jnp.transpose(src_rgbs, (0, 3, 1, 2))  # [V,3,H,W]
-    rgb_sampled = jax.vmap(grid_sample_bilinear)(images, norm_pix)  # [V,R,S,3]
+    rgb_sampled = jax.vmap(grid_sample_bilinear)(src_rgbs, norm_pix)  # [V,R,S,3]
     feat_sampled = jax.vmap(grid_sample_bilinear)(featmaps, norm_pix)  # [V,R,S,C]
     rgb_feat = jnp.concatenate([rgb_sampled, feat_sampled], axis=-1)
     rgb_feat = jnp.transpose(rgb_feat, (1, 2, 0, 3))  # [R,S,V,3+C]

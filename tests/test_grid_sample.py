@@ -10,16 +10,16 @@ from nerfool_tpu.ops.grid_sample import grid_sample_bilinear
 
 
 def _torch_grid_sample(image, grid):
-    # image [C,H,W], grid [..., 2]
-    img_t = torch.from_numpy(image)[None]
+    # image [H,W,C], grid [..., 2]
+    img_t = torch.from_numpy(image).permute(2, 0, 1)[None]
     grid_t = torch.from_numpy(grid.reshape(1, 1, -1, 2))
     out = F.grid_sample(img_t, grid_t, mode="bilinear", padding_mode="zeros",
                         align_corners=True)
-    return out[0, :, 0, :].T.numpy().reshape(grid.shape[:-1] + (image.shape[0],))
+    return out[0, :, 0, :].T.numpy().reshape(grid.shape[:-1] + (image.shape[-1],))
 
 
 def test_matches_torch_inbounds(rng):
-    image = rng.randn(5, 17, 23).astype(np.float32)
+    image = rng.randn(17, 23, 5).astype(np.float32)
     grid = rng.uniform(-0.99, 0.99, size=(7, 11, 2)).astype(np.float32)
     ours = np.asarray(grid_sample_bilinear(jnp.asarray(image), jnp.asarray(grid)))
     ref = _torch_grid_sample(image, grid)
@@ -27,7 +27,7 @@ def test_matches_torch_inbounds(rng):
 
 
 def test_matches_torch_out_of_bounds(rng):
-    image = rng.randn(3, 9, 13).astype(np.float32)
+    image = rng.randn(9, 13, 3).astype(np.float32)
     grid = rng.uniform(-1.8, 1.8, size=(50, 2)).astype(np.float32)
     ours = np.asarray(grid_sample_bilinear(jnp.asarray(image), jnp.asarray(grid)))
     ref = _torch_grid_sample(image, grid)
@@ -35,9 +35,9 @@ def test_matches_torch_out_of_bounds(rng):
 
 
 def test_exact_corners(rng):
-    image = rng.randn(2, 6, 8).astype(np.float32)
+    image = rng.randn(6, 8, 2).astype(np.float32)
     # grid (-1,-1) -> pixel (0,0); (1,1) -> pixel (W-1,H-1)
     grid = np.array([[-1.0, -1.0], [1.0, 1.0]], dtype=np.float32)
     out = np.asarray(grid_sample_bilinear(jnp.asarray(image), jnp.asarray(grid)))
-    np.testing.assert_allclose(out[0], image[:, 0, 0], rtol=1e-6)
-    np.testing.assert_allclose(out[1], image[:, -1, -1], rtol=1e-6)
+    np.testing.assert_allclose(out[0], image[0, 0], rtol=1e-6)
+    np.testing.assert_allclose(out[1], image[-1, -1], rtol=1e-6)

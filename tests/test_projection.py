@@ -79,7 +79,7 @@ def test_epipolar_gather_end_to_end(rng):
     cams = _random_cameras(rng, v, h, w)
     q_cam = _random_cameras(rng, 1, h, w)[0]
     src_rgbs = rng.rand(v, h, w, 3).astype(np.float32)
-    featmaps = rng.randn(v, 8, h // 2, w // 2).astype(np.float32)
+    featmaps = rng.randn(v, h // 2, w // 2, 8).astype(np.float32)
     xyz = rng.randn(6, 5, 3).astype(np.float32)
 
     rgb_feat, ray_diff, mask = epipolar_gather(
