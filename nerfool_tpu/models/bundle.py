@@ -1,0 +1,191 @@
+"""Model bundle: builds the Flax modules for a backbone, initializes or imports
+parameters, and exposes the feature-extraction step.
+
+Functional counterpart of the reference's IBRNetModel / GNTModel wrappers
+(/root/reference/ibrnet/model.py:30-191, gnt/model.py:17-184) minus the
+framework-specific DDP/optimizer plumbing (sharding lives in
+``nerfool_tpu.parallel``; optimizers are plain optax in the trainer/attack).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerfool_tpu.models.gnt import GNTAggregator
+from nerfool_tpu.models.ibrnet import IBRNetAggregator
+from nerfool_tpu.models.resunet import ResUNet
+from nerfool_tpu.render.render_rays import RenderConfig
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    backbone: str
+    feature_net: ResUNet
+    net_coarse: Any
+    net_fine: Optional[Any]
+    params: dict  # {'feature_net', 'net_coarse', 'net_fine'?}
+    remat_features: bool = True
+
+    @property
+    def modules(self):
+        # net_fine falls back to net_coarse (single_net / coarse_only setups)
+        return {
+            "net_coarse": self.net_coarse,
+            "net_fine": self.net_fine if self.net_fine is not None else self.net_coarse,
+        }
+
+    @property
+    def render_params(self):
+        p = {"net_coarse": self.params["net_coarse"]}
+        p["net_fine"] = self.params.get("net_fine", self.params["net_coarse"])
+        return p
+
+    def extract_features(self, src_rgbs, params=None):
+        """:param src_rgbs: [V, H, W, 3] in [0,1]
+        :return: (coarse [V,H/4,W/4,C], fine [V,H/4,W/4,C])
+
+        The attack differentiates through this at full image resolution every
+        iteration; remat trades recompute for activation memory exactly like the
+        reference's checkpoint_wrapper (/root/reference/gnt/model.py:89-105).
+        """
+        p = params if params is not None else self.params["feature_net"]
+        apply = lambda pp, x: self.feature_net.apply({"params": pp}, x)
+        if self.remat_features:
+            apply = jax.checkpoint(apply)
+        coarse, fine = apply(p, src_rgbs)
+        if fine is None:
+            fine = coarse
+        return coarse, fine
+
+
+def create_model(
+    args=None,
+    backbone: str = "ibrnet",
+    coarse_feat_dim: int = 32,
+    fine_feat_dim: int = 32,
+    netwidth: int = 64,
+    trans_depth: int = 8,
+    anti_alias_pooling: bool = True,
+    coarse_only: bool = False,
+    single_net: bool = False,
+    ret_alpha: bool = True,
+    ckpt_path: Optional[str] = None,
+    rng_key: Optional[jax.Array] = None,
+    init_shapes=(4, 64, 64),
+    remat_features: bool = True,
+) -> ModelBundle:
+    """Build modules and either import a reference .pth or random-init params.
+
+    ``args`` may be a parsed CLI namespace carrying the same field names; kwargs
+    win when both are given.
+    """
+    if args is not None:
+        backbone = getattr(args, "backbone", backbone)
+        coarse_feat_dim = getattr(args, "coarse_feat_dim", coarse_feat_dim)
+        fine_feat_dim = getattr(args, "fine_feat_dim", fine_feat_dim)
+        netwidth = getattr(args, "netwidth", netwidth)
+        trans_depth = getattr(args, "trans_depth", trans_depth)
+        anti_alias_pooling = bool(getattr(args, "anti_alias_pooling", anti_alias_pooling))
+        coarse_only = getattr(args, "coarse_only", coarse_only)
+        single_net = getattr(args, "single_net", single_net)
+        ckpt_path = getattr(args, "ckpt_path", ckpt_path) or ckpt_path
+
+    feature_net = ResUNet(
+        coarse_out_ch=coarse_feat_dim,
+        fine_out_ch=fine_feat_dim,
+        coarse_only=coarse_only,
+        single_net=single_net,
+    )
+    if backbone == "ibrnet":
+        net_coarse = IBRNetAggregator(
+            in_feat_ch=coarse_feat_dim, anti_alias_pooling=anti_alias_pooling
+        )
+        net_fine = (
+            None
+            if coarse_only
+            else IBRNetAggregator(
+                in_feat_ch=fine_feat_dim, anti_alias_pooling=anti_alias_pooling
+            )
+        )
+    elif backbone == "gnt":
+        net_coarse = GNTAggregator(
+            in_feat_ch=coarse_feat_dim, netwidth=netwidth,
+            trans_depth=trans_depth, ret_alpha=ret_alpha,
+        )
+        net_fine = (
+            None
+            if single_net
+            else GNTAggregator(
+                in_feat_ch=fine_feat_dim, netwidth=netwidth,
+                trans_depth=trans_depth, ret_alpha=True,
+            )
+        )
+    else:
+        raise ValueError(f"unknown backbone {backbone!r}")
+
+    if ckpt_path:
+        from nerfool_tpu.models.torch_port import load_reference_checkpoint
+
+        params = load_reference_checkpoint(ckpt_path, backbone=backbone,
+                                           trans_depth=trans_depth)
+    else:
+        key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+        kf, kc, kfi = jax.random.split(key, 3)
+        v, h, w = init_shapes
+        r, s = 2, 8
+        x = jnp.zeros((v, h, w, 3))
+        params = {"feature_net": feature_net.init(kf, x)["params"]}
+        rgb_feat = jnp.zeros((r, s, v, 3 + coarse_feat_dim))
+        ray_diff = jnp.zeros((r, s, v, 4))
+        mask = jnp.ones((r, s, v, 1))
+        if backbone == "ibrnet":
+            params["net_coarse"] = net_coarse.init(kc, rgb_feat, ray_diff, mask)["params"]
+            if net_fine is not None:
+                params["net_fine"] = net_fine.init(kfi, rgb_feat, ray_diff, mask)["params"]
+        else:
+            pts = jnp.zeros((r, s, 3))
+            ray_d = jnp.ones((r, 3))
+            params["net_coarse"] = net_coarse.init(
+                kc, rgb_feat, ray_diff, mask, pts, ray_d
+            )["params"]
+            if net_fine is not None:
+                params["net_fine"] = net_fine.init(
+                    kfi, rgb_feat, ray_diff, mask, pts, ray_d
+                )["params"]
+
+    return ModelBundle(
+        backbone=backbone,
+        feature_net=feature_net,
+        net_coarse=net_coarse,
+        net_fine=net_fine,
+        params=params,
+        remat_features=remat_features,
+    )
+
+
+def default_render_config(args=None, backbone="ibrnet", **overrides) -> RenderConfig:
+    """RenderConfig from a CLI namespace (reference flag names) or kwargs."""
+    fields = dict(
+        n_samples=64, n_importance=0, inv_uniform=False, det=True,
+        white_bkgd=False, backbone=backbone, single_net=False, ret_alpha=True,
+        stop_camera_grad=backbone == "ibrnet", geo_noise=0.0,
+        use_clean_color=False, use_clean_density=False,
+    )
+    if args is not None:
+        mapping = dict(
+            n_samples="N_samples", n_importance="N_importance",
+            inv_uniform="inv_uniform", det="det", white_bkgd="white_bkgd",
+            single_net="single_net", ret_alpha="ret_alpha", geo_noise="geo_noise",
+            use_clean_color="use_clean_color", use_clean_density="use_clean_density",
+        )
+        for ours, theirs in mapping.items():
+            if hasattr(args, theirs):
+                fields[ours] = getattr(args, theirs)
+        if getattr(args, "perturb_camera_no_detach", False):
+            fields["stop_camera_grad"] = False
+    fields.update(overrides)
+    fields["geo_noise"] = float(fields["geo_noise"] or 0.0)
+    return RenderConfig(**fields)

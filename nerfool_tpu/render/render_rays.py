@@ -1,0 +1,163 @@
+"""Functional ray renderer: one pure function from (params, batch) to outputs.
+
+Equivalent of the reference's render_rays / render_rays_hybrid
+(/root/reference/ibrnet/render_ray.py:173-390 and gnt/render_ray.py:196-279) but
+expressed as a jit-able pure function of a parameter pytree, a ray batch, and a
+static RenderConfig. The two backbones share the whole pipeline; they differ
+only in the aggregator signature and in how raw outputs become radiance:
+
+  * ibrnet: aggregator -> [R,S,4] raw, alpha-composited by raw2outputs
+  * gnt:    aggregator -> [R, 3(+S)] rgb (+ attention weights as "density")
+
+No chunk loop lives here: callers vmap/shard the ray axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerfool_tpu.render.compositor import raw2outputs
+from nerfool_tpu.render.projection import epipolar_gather
+from nerfool_tpu.render.sampling import sample_along_camera_ray, sample_fine_zvals
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration (hashable: safe as a jit static arg)."""
+
+    n_samples: int = 64
+    n_importance: int = 0
+    inv_uniform: bool = False
+    det: bool = True
+    white_bkgd: bool = False
+    backbone: str = "ibrnet"  # 'ibrnet' | 'gnt'
+    single_net: bool = False  # gnt: reuse net_coarse for the fine pass
+    ret_alpha: bool = True  # gnt: return attention weights as density
+    stop_camera_grad: bool = True  # ibrnet detaches src cameras; gnt does not
+    geo_noise: float = 0.0
+    # hybrid rendering (density/color vulnerability analysis)
+    use_clean_color: bool = False
+    use_clean_density: bool = False
+
+
+def make_shade_fn(model, cfg: RenderConfig) -> Callable:
+    """Bind the aggregator apply into a uniform shade(params, ...) signature.
+
+    ``model`` holds the flax Modules: {'net_coarse': Module, 'net_fine': Module|None}.
+    """
+    if cfg.backbone == "ibrnet":
+
+        def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
+            return agg_module.apply({"params": agg_params}, rgb_feat, ray_diff, mask)
+
+    else:
+
+        def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
+            return agg_module.apply(
+                {"params": agg_params}, rgb_feat, ray_diff, mask, pts, ray_d
+            )
+
+    return shade
+
+
+def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
+                      featmap, level, ray_d):
+    """Project points into source views and run the aggregator."""
+    rgb_feat, ray_diff, mask = epipolar_gather(
+        pts,
+        ray_batch["camera"].reshape(-1)[:34],
+        src_rgbs,
+        src_cameras,
+        featmap,
+        stop_camera_grad=cfg.stop_camera_grad,
+    )
+    shade = make_shade_fn(model, cfg)
+    net_key = "net_coarse" if (level == "coarse" or cfg.single_net) else "net_fine"
+    raw = shade(params[net_key], model[net_key], rgb_feat, ray_diff, mask, pts, ray_d)
+    pixel_mask = jnp.sum(mask[..., 0], axis=2) > 1  # >= 2 observations
+    return raw, pixel_mask
+
+
+def render_rays(
+    params,
+    model,
+    ray_batch,
+    featmaps,
+    cfg: RenderConfig,
+    src_rgbs=None,
+    src_cameras=None,
+    key: Optional[jax.Array] = None,
+    featmaps_clean=None,
+):
+    """Render a batch of rays end to end (coarse + optional fine pass).
+
+    :param params: {'net_coarse': ..., 'net_fine': ...} flax param trees
+    :param model: same keys, flax Modules
+    :param ray_batch: dict with ray_o [R,3], ray_d [R,3], depth_range [1,2],
+        camera [34] or [1,34]; optionally rgb [R,3]
+    :param featmaps: (coarse [V,Hf,Wf,C], fine [V,Hf,Wf,C]) from the feature net
+    :param cfg: static RenderConfig
+    :param src_rgbs: [V,H,W,3] source images (the ``src_ray_batch`` override of
+        the reference: rays come from the target view, sources may be global)
+    :param src_cameras: [V,34]
+    :param featmaps_clean: optional clean featmaps for hybrid rendering
+    :return: {'outputs_coarse': {...}, 'outputs_fine': {...}|None}
+    """
+    keys = jax.random.split(key, 4) if key is not None else [None] * 4
+    pts, z_vals = sample_along_camera_ray(
+        ray_batch["ray_o"], ray_batch["ray_d"], ray_batch["depth_range"],
+        cfg.n_samples, inv_uniform=cfg.inv_uniform, det=cfg.det, key=keys[0],
+    )
+    ray_d = ray_batch["ray_d"]
+
+    def run_level(pts, z_vals, level, featmap, featmap_clean, noise_key):
+        raw, pixel_mask = _gather_and_shade(
+            params, model, cfg, pts, ray_batch, src_rgbs, src_cameras, featmap,
+            level, ray_d,
+        )
+        if cfg.use_clean_color or cfg.use_clean_density:
+            raw_clean, _ = _gather_and_shade(
+                params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
+                featmap_clean, level, ray_d,
+            )
+            color = raw_clean[..., :3] if cfg.use_clean_color else raw[..., :3]
+            sigma = raw_clean[..., 3:4] if cfg.use_clean_density else raw[..., 3:4]
+            raw = jnp.concatenate([color, sigma], axis=-1)
+
+        if cfg.backbone == "ibrnet":
+            return raw2outputs(
+                raw, z_vals, pixel_mask, white_bkgd=cfg.white_bkgd,
+                geo_noise=cfg.geo_noise, key=noise_key,
+            )
+        # gnt: rgb directly; attention map doubles as compositing weights
+        if cfg.ret_alpha:
+            rgb, weights = raw[:, :3], raw[:, 3:]
+            depth = jnp.sum(weights * z_vals, axis=-1)
+        else:
+            rgb, weights, depth = raw, None, None
+        return {"rgb": rgb, "weights": weights, "depth": depth,
+                "mask": jnp.sum(pixel_mask.astype(jnp.float32), axis=1) > 8}
+
+    outputs_coarse = run_level(
+        pts, z_vals, "coarse",
+        featmaps[0], featmaps_clean[0] if featmaps_clean is not None else None,
+        keys[1],
+    )
+    ret = {"outputs_coarse": outputs_coarse, "outputs_fine": None}
+
+    if cfg.n_importance > 0:
+        weights = jax.lax.stop_gradient(outputs_coarse["weights"])
+        z_all = sample_fine_zvals(
+            z_vals, weights, cfg.n_importance, inv_uniform=cfg.inv_uniform,
+            det=cfg.det, key=keys[2],
+        )
+        pts_fine = z_all[..., None] * ray_d[:, None, :] + ray_batch["ray_o"][:, None, :]
+        ret["outputs_fine"] = run_level(
+            pts_fine, z_all, "fine",
+            featmaps[1], featmaps_clean[1] if featmaps_clean is not None else None,
+            keys[3],
+        )
+    return ret
