@@ -1,0 +1,327 @@
+"""The attack step: one jitted gradient-ascent update on the perturbation.
+
+TPU-first restructuring of the reference attack loop
+(/root/reference/eval/ibrnet/eval_adv.py:258-519,650-740,796-843): the whole
+iteration — ray subset selection, feature re-extraction from the perturbed
+sources, rendering, the multi-loss objective, backprop to delta (and camera
+parameters), the Adam/sign-PGD update and the eps-ball/box projection — is one
+pure function. View-specific attacks run it under lax.scan; the universal
+attack drives it from a thin host loop that streams target views.
+
+Gradient ascent is expressed exactly as the reference does it: negate the
+gradient and feed a standard (descending) optimizer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerfool_tpu.attack import losses as L
+from nerfool_tpu.attack.pcgrad import pcgrad_combine
+from nerfool_tpu.attack.perturb import clamp, init_delta, project_delta
+from nerfool_tpu.render.render_rays import RenderConfig, render_rays
+from nerfool_tpu.utils.cameras import get_rays, transform_src_cameras
+
+
+@dataclasses.dataclass(frozen=True)
+class AttackConfig:
+    """Static attack configuration. Field names track the reference CLI flags
+    (/root/reference/config.py:116-221); epsilon / adv_lr are in /255 units."""
+
+    h: int
+    w: int
+    epsilon: float = 8.0
+    adv_lr: float = 2.0
+    adv_iters: int = 100
+    use_adam: bool = False
+    adam_lr: float = 1e-3
+    lr_step_size: int = 100
+    lr_gamma: float = 0.5
+    n_rand: int = 512
+    sample_mode: str = "uniform"  # 'uniform' | 'center'
+    center_ratio: float = 0.8
+    use_patch_sampling: bool = False
+    patch_size: int = 8
+    use_pseudo_gt: bool = False
+    # loss weights (0 = disabled), matching the reference flags
+    density_loss: float = 0.0
+    depth_var_loss: float = 0.0
+    depth_diff_loss: float = 0.0
+    depth_smooth_loss: float = 0.0
+    # gradient surgery
+    use_pcgrad: bool = False
+    major_loss: str = ""
+    # camera-pose attack
+    perturb_camera: bool = False
+    perturb_camera_no_opt: bool = False
+    zero_camera_init: bool = False
+    rot_epsilon: float = 10.0  # degrees
+    trans_epsilon: float = 0.1
+
+    @property
+    def eps(self):
+        return self.epsilon / 255.0
+
+    @property
+    def alpha(self):
+        return self.adv_lr / 255.0
+
+    @property
+    def rot_eps_rad(self):
+        import math
+
+        return self.rot_epsilon / 180.0 * math.pi
+
+    def enabled_losses(self):
+        names = ["rgb"]
+        if self.density_loss > 0:
+            names.append("density")
+        if self.depth_var_loss > 0:
+            names.append("depth_var")
+        if self.depth_diff_loss > 0:
+            names.append("depth_diff")
+        if self.depth_smooth_loss > 0:
+            names.append("depth_smooth")
+        return names
+
+
+def select_ray_indices(key, cfg: AttackConfig):
+    """Random ray-subset selection, in-graph.
+
+    uniform: n_rand distinct pixels; center: distinct pixels within the central
+    center_ratio box; patch: n_patches random patch_size^2 blocks (reference
+    sample_ray.py:132-152,190-236). Distinctness uses a key-derived random-order
+    top-k, equivalent in distribution to the reference's numpy choice
+    (replace=False).
+    """
+    h, w = cfg.h, cfg.w
+    if cfg.use_patch_sampling:
+        p = cfg.patch_size
+        n_patches = cfg.n_rand // (p ** 2)
+        kx, ky = jax.random.split(key)
+        x0 = jax.random.randint(kx, (n_patches, 1), 0, h - p + 1)  # row anchor
+        y0 = jax.random.randint(ky, (n_patches, 1), 0, w - p + 1)  # col anchor
+        # within-patch enumeration: row offset varies fastest (matches the
+        # reference's np.meshgrid(..., indexing='xy') flattening, so the
+        # depth-smooth [n,p,p] reshape sees the same pixel order)
+        dr = jnp.tile(jnp.arange(p), p)[None]
+        dc = jnp.repeat(jnp.arange(p), p)[None]
+        return ((y0 + dc) + w * (x0 + dr)).reshape(-1)
+    if cfg.sample_mode == "center":
+        bh = int(h * (1 - cfg.center_ratio) / 2.0)
+        bw = int(w * (1 - cfg.center_ratio) / 2.0)
+        hh = h - 2 * bh
+        ww = w - 2 * bw
+        scores = jax.random.uniform(key, (hh * ww,))
+        _, sel = jax.lax.top_k(scores, cfg.n_rand)
+        u = sel // ww + bh  # row in full image
+        v = sel % ww + bw
+        return v + w * u
+    scores = jax.random.uniform(key, (h * w,))
+    _, sel = jax.lax.top_k(scores, cfg.n_rand)
+    return sel
+
+
+def make_optimizer(cfg: AttackConfig):
+    if not cfg.use_adam:
+        return None
+    schedule = optax.exponential_decay(
+        init_value=cfg.adam_lr,
+        transition_steps=cfg.lr_step_size,
+        decay_rate=cfg.lr_gamma,
+        staircase=True,
+    )
+    return optax.adam(schedule)
+
+
+def init_attack_state(key, cfg: AttackConfig, src_rgbs):
+    """Build the attack-state pytree: delta, camera params, optimizer state."""
+    kd, kr, kt = jax.random.split(key, 3)
+    delta = init_delta(kd, src_rgbs, cfg.eps)
+    if cfg.perturb_camera:
+        if cfg.zero_camera_init:
+            rot = jnp.zeros((src_rgbs.shape[0], 3))
+            trans = jnp.zeros((src_rgbs.shape[0], 3))
+        else:
+            rot = jax.random.uniform(
+                kr, (src_rgbs.shape[0], 3), minval=-cfg.rot_eps_rad, maxval=cfg.rot_eps_rad
+            )
+            trans = jax.random.uniform(
+                kt, (src_rgbs.shape[0], 3), minval=-cfg.trans_epsilon, maxval=cfg.trans_epsilon
+            )
+    else:
+        rot = jnp.zeros((src_rgbs.shape[0], 3))
+        trans = jnp.zeros((src_rgbs.shape[0], 3))
+    opt = make_optimizer(cfg)
+    opt_state = opt.init((delta, rot, trans)) if opt is not None else ()
+    return {"delta": delta, "rot": rot, "trans": trans, "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32)}
+
+
+def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig):
+    """Build the pure attack step.
+
+    step(state, target, src, key) -> (state, aux)
+      target: {'camera' [34], 'rgb' [H*W, 3] or None, 'depth' [H*W] or None,
+               'depth_range' [1,2]}
+      src:    {'rgbs' [V,Hs,Ws,3], 'cameras' [V,34],
+               'featmaps_clean': (coarse, fine) or None}
+    """
+    modules = bundle.modules
+    params = bundle.render_params
+    feature_params = bundle.params["feature_net"]
+    opt = make_optimizer(cfg)
+    loss_names = cfg.enabled_losses()
+    gt_cfg = dataclasses.replace(render_cfg, det=True, geo_noise=0.0)
+
+    def render_subset(net_params, feats, target, src_cams, src_rgbs, sel, rcfg, key):
+        intr = target["camera"][2:18].reshape(4, 4)
+        c2w = target["camera"][18:34].reshape(4, 4)
+        rays_o, rays_d = get_rays(cfg.h, cfg.w, intr, c2w)
+        batch = {
+            "ray_o": rays_o[sel],
+            "ray_d": rays_d[sel],
+            "depth_range": target["depth_range"],
+            "camera": target["camera"][None],
+        }
+        return render_rays(
+            net_params, modules, batch, feats, rcfg,
+            src_rgbs=src_rgbs, src_cameras=src_cams, key=key,
+        )
+
+    def compute_losses(delta, rot, trans, target, src, sel, key):
+        src_rgbs = src["rgbs"]
+        if cfg.perturb_camera:
+            src_cams = transform_src_cameras(src["cameras"], rot, trans)
+        else:
+            src_cams = src["cameras"]
+
+        feats = bundle.extract_features(src_rgbs + delta, params=feature_params)
+
+        # NOTE (reference semantics, eval_adv.py:292-304): delta reaches the
+        # renderer only through the feature maps — the projector's RGB gather
+        # stays on the *clean* source pixels (src_ray_batch is never perturbed).
+        ret = render_subset(params, feats, target, src_cams, src_rgbs,
+                            sel, render_cfg, key)
+
+        if cfg.use_pseudo_gt:
+            feats_clean = src["featmaps_clean"]
+            ret_gt = render_subset(
+                params, feats_clean, target, src_cams, src_rgbs, sel, gt_cfg, key
+            )
+            ret_gt = jax.lax.stop_gradient(ret_gt)
+            top_gt = ret_gt["outputs_fine"] or ret_gt["outputs_coarse"]
+            gt_rgb = top_gt["rgb"]
+            gt_depth = top_gt["depth"]
+        else:
+            ret_gt = None
+            gt_rgb = target["rgb"][sel]
+            gt_depth = target["depth"][sel] if target.get("depth") is not None else None
+
+        terms = {}
+        loss_rgb = L.rgb_criterion(ret["outputs_coarse"], gt_rgb)
+        if ret["outputs_fine"] is not None:
+            loss_rgb = loss_rgb + L.rgb_criterion(ret["outputs_fine"], gt_rgb)
+        terms["rgb"] = loss_rgb
+
+        if cfg.density_loss > 0:
+            assert cfg.use_pseudo_gt, "density loss requires pseudo-GT"
+            d = L.density_loss(ret["outputs_coarse"], ret_gt["outputs_coarse"])
+            if ret["outputs_fine"] is not None:
+                d = d + L.density_loss(ret["outputs_fine"], ret_gt["outputs_fine"])
+            terms["density"] = cfg.density_loss * d
+
+        if cfg.depth_var_loss > 0:
+            v = L.depth_var_loss(ret["outputs_coarse"])
+            if ret["outputs_fine"] is not None:
+                v = v + L.depth_var_loss(ret["outputs_fine"])
+            terms["depth_var"] = cfg.depth_var_loss * v
+
+        if cfg.depth_diff_loss > 0:
+            dd = L.depth_diff_loss(ret["outputs_coarse"], gt_depth)
+            if ret["outputs_fine"] is not None:
+                dd = dd + L.depth_diff_loss(ret["outputs_fine"], gt_depth)
+            terms["depth_diff"] = cfg.depth_diff_loss * dd
+
+        if cfg.depth_smooth_loss > 0:
+            assert cfg.use_patch_sampling, (
+                "depth_smooth here rides the patch-sampled rays; enable "
+                "use_patch_sampling (the reference otherwise re-renders a patch batch)"
+            )
+            s = L.depth_smooth_loss(ret["outputs_coarse"]["depth"], cfg.patch_size)
+            if ret["outputs_fine"] is not None:
+                s = s + L.depth_smooth_loss(ret["outputs_fine"]["depth"], cfg.patch_size)
+            terms["depth_smooth"] = cfg.depth_smooth_loss * s
+
+        return terms
+
+    def step(state, target, src, key):
+        k_sel, k_render, k_pc = jax.random.split(key, 3)
+        sel = select_ray_indices(k_sel, cfg)
+        delta, rot, trans = state["delta"], state["rot"], state["trans"]
+
+        def total_loss(p3):
+            d, r, t = p3
+            terms = compute_losses(d, r, t, target, src, sel, k_render)
+            return sum(terms.values()), terms
+
+        if cfg.use_pcgrad:
+            # per-loss gradients for gradient surgery on delta; camera params
+            # keep the summed gradient
+            def loss_vec(p3):
+                terms = compute_losses(*p3, target, src, sel, k_render)
+                return jnp.stack([terms[n] for n in loss_names])
+
+            jac = jax.jacrev(loss_vec)((delta, rot, trans))
+            major_idx = (
+                loss_names.index(cfg.major_loss) if cfg.major_loss in loss_names else None
+            )
+            g_delta = pcgrad_combine(jac[0], major_idx=major_idx, key=k_pc)
+            g_rot = jnp.sum(jac[1], axis=0)
+            g_trans = jnp.sum(jac[2], axis=0)
+            terms = compute_losses(delta, rot, trans, target, src, sel, k_render)
+            loss = sum(terms.values())
+            grads = (g_delta, g_rot, g_trans)
+        else:
+            (loss, terms), grads = jax.value_and_grad(total_loss, has_aux=True)(
+                (delta, rot, trans)
+            )
+
+        if cfg.perturb_camera_no_opt:
+            grads = (grads[0], jnp.zeros_like(grads[1]), jnp.zeros_like(grads[2]))
+
+        if cfg.use_adam:
+            neg = jax.tree.map(lambda g: -g, grads)
+            updates, opt_state = opt.update(neg, state["opt_state"], (delta, rot, trans))
+            delta, rot, trans = optax.apply_updates((delta, rot, trans), updates)
+        else:
+            opt_state = state["opt_state"]
+            delta = delta + cfg.alpha * jnp.sign(grads[0])
+            if cfg.perturb_camera and not cfg.perturb_camera_no_opt:
+                rot = rot + cfg.adv_lr * jnp.sign(grads[1])
+                trans = trans + cfg.adv_lr * jnp.sign(grads[2])
+
+        delta = project_delta(delta, src["rgbs"], cfg.eps)
+        if cfg.perturb_camera:
+            rot = clamp(rot, -cfg.rot_eps_rad, cfg.rot_eps_rad)
+            trans = clamp(trans, -cfg.trans_epsilon, cfg.trans_epsilon)
+
+        new_state = {"delta": delta, "rot": rot, "trans": trans,
+                     "opt_state": opt_state, "step": state["step"] + 1}
+        return new_state, {"loss": loss, **terms}
+
+    return step
+
+
+def run_attack_scan(step_fn, state, target, src, key, n_iters: int):
+    """View-specific attack: n_iters of step_fn under lax.scan (fixed target)."""
+
+    def body(state, k):
+        return step_fn(state, target, src, k)
+
+    keys = jax.random.split(key, n_iters)
+    return jax.lax.scan(body, state, keys)
