@@ -52,6 +52,12 @@ class AttackConfig:
     depth_var_loss: float = 0.0
     depth_diff_loss: float = 0.0
     depth_smooth_loss: float = 0.0
+    depth_consistency_loss: float = 0.0  # Sin-NeRF-style src->tar depth warp
+    camera_consistency_loss: float = 0.0  # bidirectional rgb/depth warps
+    cam_src2tar: float = 0.0
+    cam_tar2src: float = 0.0
+    cam_depth: float = 0.0
+    perturb_camera_no_detach: bool = False
     # gradient surgery
     use_pcgrad: bool = False
     major_loss: str = ""
@@ -84,8 +90,12 @@ class AttackConfig:
             names.append("depth_var")
         if self.depth_diff_loss > 0:
             names.append("depth_diff")
+        if self.depth_consistency_loss > 0:
+            names.append("depth_cons")
         if self.depth_smooth_loss > 0:
             names.append("depth_smooth")
+        if self.camera_consistency_loss > 0:
+            names.append("camera_cons")
         return names
 
 
@@ -247,6 +257,32 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig):
                 dd = dd + L.depth_diff_loss(ret["outputs_fine"], gt_depth)
             terms["depth_diff"] = cfg.depth_diff_loss * dd
 
+        if cfg.depth_consistency_loss > 0:
+            # warp one random source view's GT depth into the target and pull
+            # the rendered depth toward it (eval_adv.py:350-436, non-ds_rgb path:
+            # depths are pre-upsampled to rgb resolution by the data pipeline)
+            from nerfool_tpu.attack.warp import forward_warp
+
+            k_src = jax.random.fold_in(key, 17)
+            src_id = jax.random.randint(k_src, (), 0, src_cams.shape[0])
+            src_cam = src_cams[src_id]
+            tar_cam = target["camera"]
+            _, _, rgb_proj, depth_proj = forward_warp(
+                sel,
+                src_rgbs[src_id],
+                src["depths"][src_id],
+                src_cam[2:18].reshape(4, 4)[:3, :3],
+                src_cam[18:34].reshape(4, 4),
+                tar_cam[2:18].reshape(4, 4)[:3, :3],
+                tar_cam[18:34].reshape(4, 4),
+                src2tar=True,
+            )
+            dc = L.smooth_l1(ret["outputs_coarse"]["depth"], depth_proj, depth_proj > 0)
+            if ret["outputs_fine"] is not None:
+                dc = dc + L.smooth_l1(ret["outputs_fine"]["depth"], depth_proj,
+                                      depth_proj > 0)
+            terms["depth_cons"] = cfg.depth_consistency_loss * dc
+
         if cfg.depth_smooth_loss > 0:
             assert cfg.use_patch_sampling, (
                 "depth_smooth here rides the patch-sampled rays; enable "
@@ -256,6 +292,48 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig):
             if ret["outputs_fine"] is not None:
                 s = s + L.depth_smooth_loss(ret["outputs_fine"]["depth"], cfg.patch_size)
             terms["depth_smooth"] = cfg.depth_smooth_loss * s
+
+        if cfg.camera_consistency_loss > 0:
+            # bidirectional src<->tar rgb/depth consistency through GT-depth
+            # warps (eval_adv.py:469-510); drives the camera-pose attack
+            from nerfool_tpu.attack.warp import forward_warp
+
+            k_src = jax.random.fold_in(key, 23)
+            src_id = jax.random.randint(k_src, (), 0, src_cams.shape[0])
+            src_cam = src_cams[src_id]
+            tar_cam = target["camera"]
+            k_tar = tar_cam[2:18].reshape(4, 4)[:3, :3]
+            e_tar = tar_cam[18:34].reshape(4, 4)
+            k_sv = src_cam[2:18].reshape(4, 4)[:3, :3]
+            e_sv = src_cam[18:34].reshape(4, 4)
+            rgb_src = src_rgbs[src_id]
+            depth_src = src["depths"][src_id]
+            rgb_tar = target["rgb"].reshape(cfg.h, cfg.w, 3)
+            depth_tar = target["depth_full"].reshape(cfg.h, cfg.w)
+
+            _, _, rgb_src2tar, depth_src2tar = forward_warp(
+                sel, rgb_src, depth_src, k_sv, e_sv, k_tar, e_tar, src2tar=True
+            )
+            _, _, rgb_tar2src, depth_tar2src, inds_src = forward_warp(
+                sel, rgb_tar, depth_tar, k_tar, e_tar, k_sv, e_sv, src2tar=False
+            )
+            top = ret["outputs_fine"] if ret["outputs_fine"] is not None else ret["outputs_coarse"]
+            rgb_tar_sampled = top["rgb"]
+            if not cfg.perturb_camera_no_detach:
+                rgb_tar_sampled = jax.lax.stop_gradient(rgb_tar_sampled)
+            depth_tar_sampled = target["depth"][sel]
+            rgb_src_sampled = rgb_src.reshape(-1, 3)[inds_src]
+            depth_src_sampled = depth_src.reshape(-1)[inds_src]
+
+            cc = (
+                cfg.cam_src2tar * L.smooth_l1(rgb_tar_sampled, rgb_src2tar, rgb_src2tar > 0)
+                + cfg.cam_tar2src * L.smooth_l1(rgb_src_sampled, rgb_tar2src, rgb_tar2src > 0)
+            )
+            cc = cc + cfg.cam_depth * (
+                L.smooth_l1(depth_tar_sampled, depth_src2tar, depth_src2tar > 0)
+                + L.smooth_l1(depth_src_sampled, depth_tar2src, depth_tar2src > 0)
+            )
+            terms["camera_cons"] = cfg.camera_consistency_loss * cc
 
         return terms
 

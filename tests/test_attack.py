@@ -243,3 +243,55 @@ def test_gradient_parity_with_reference(rng):
     sign_agree = np.mean(np.sign(g) == np.sign(r))
     assert cosine > 0.99, cosine
     assert sign_agree > 0.9, sign_agree
+
+
+def test_warp_losses_run(rng):
+    """depth-consistency + camera-consistency terms compile and are finite."""
+    bundle, render_cfg, cfg0, target, src = _attack_setup(rng)
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg0, depth_consistency_loss=0.5, camera_consistency_loss=0.5,
+        cam_src2tar=1.0, cam_tar2src=1.0, cam_depth=1.0, use_adam=True,
+        adam_lr=1e-2, perturb_camera=True,
+    )
+    v = src["rgbs"].shape[0]
+    src = dict(src, depths=jnp.asarray(
+        (np.random.RandomState(0).rand(v, H, W) * 2 + 3).astype(np.float32)))
+    target = dict(
+        target,
+        depth=jnp.asarray((np.random.RandomState(1).rand(H * W) * 2 + 3).astype(np.float32)),
+        depth_full=jnp.asarray((np.random.RandomState(2).rand(H * W) * 2 + 3).astype(np.float32)),
+    )
+    step = jax.jit(make_attack_step(bundle, render_cfg, cfg))
+    state = init_attack_state(jax.random.PRNGKey(1), cfg, src["rgbs"])
+    state, aux = step(state, target, src, jax.random.PRNGKey(6))
+    assert np.isfinite(float(aux["loss"]))
+    assert "depth_cons" in aux and "camera_cons" in aux
+    assert np.isfinite(float(aux["depth_cons"])) and np.isfinite(float(aux["camera_cons"]))
+
+
+def test_purification_descends(rng):
+    """Purification (defense) minimizes its objective and respects its eps-ball."""
+    from nerfool_tpu.attack.purify import PurifyConfig, make_purify_step
+
+    bundle, render_cfg, acfg, target, src = _attack_setup(rng)
+    cfg = PurifyConfig(h=H, w=W, purif_epsilon=8.0, adam_lr=5e-3, n_rand=32)
+    delta = jnp.asarray(
+        (np.random.RandomState(3).rand(*src["rgbs"].shape).astype(np.float32) * 2 - 1)
+        * (8.0 / 255)
+    )
+    init_state, step = make_purify_step(bundle, render_cfg, cfg)
+    state = init_state(jax.random.PRNGKey(0), src["rgbs"], delta)
+    step = jax.jit(step)
+    losses = []
+    # fixed key -> fixed ray subset + view: a deterministic objective, so the
+    # Adam defense must strictly make progress
+    k = jax.random.PRNGKey(1)
+    for _ in range(6):
+        state, aux = step(state, target, src, delta, k)
+        losses.append(float(aux["loss"]))
+    purif = np.asarray(state["purif"])
+    assert np.all(np.abs(purif) <= 8.0 / 255 + 1e-6)
+    base = np.asarray(src["rgbs"] + delta)
+    assert np.all(base + purif >= -1e-6) and np.all(base + purif <= 1 + 1e-6)
+    assert np.mean(losses[3:]) < np.mean(losses[:3])  # defense descends
