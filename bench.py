@@ -1,0 +1,156 @@
+"""Benchmark: clean-render throughput + attack-step throughput on the flagship
+IBRNet configuration (LLFF eval settings: 10 source views, N_samples=64,
+N_importance=64, factor-4 LLFF resolution 756x1008 — configs/ibrnet/eval_llff.txt).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline anchors against a single-GPU reference estimate for the same
+pipeline (IBRNet-class renderers measure ~25k rays/s on a V100-class GPU at
+these settings; the reference repo publishes no numbers — BASELINE.md).
+Secondary numbers go to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_RAYS_PER_SEC = 25_000.0  # single-GPU reference anchor (see module docstring)
+
+H = int(os.environ.get("BENCH_H", 756))
+W = int(os.environ.get("BENCH_W", 1008))
+N_SRC = int(os.environ.get("BENCH_SRC", 10))
+N_SAMPLES = int(os.environ.get("BENCH_NSAMPLES", 64))
+N_IMPORTANCE = int(os.environ.get("BENCH_NIMPORTANCE", 64))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 4096))
+N_RAND = int(os.environ.get("BENCH_NRAND", 512))
+ATTACK_ITERS = int(os.environ.get("BENCH_ATTACK_ITERS", 10))
+DTYPE = os.environ.get("BENCH_DTYPE", "float32")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfool_tpu.attack.attack import (
+        AttackConfig, init_attack_state, make_attack_step,
+    )
+    from nerfool_tpu.models.bundle import create_model
+    from nerfool_tpu.render.render_image import render_rays_blocked
+    from nerfool_tpu.render.render_rays import RenderConfig
+    from nerfool_tpu.utils.cameras import get_rays, make_camera_vector
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.RandomState(0)
+
+    # synthetic flagship-scale scene
+    cams = []
+    for i in range(N_SRC + 1):
+        theta = 0.5 * np.pi * i / (N_SRC + 1)
+        eye = np.array([4 * np.sin(theta), 1.4, -4 * np.cos(theta)], dtype=np.float32)
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, eye
+        k = np.eye(4, dtype=np.float32)
+        k[0, 0] = k[1, 1] = 0.8 * W
+        k[0, 2], k[1, 2] = W / 2, H / 2
+        cams.append(make_camera_vector(H, W, k, c2w))
+    cams = np.stack(cams).astype(np.float32)
+    target_cam, src_cams = cams[0], cams[1:]
+    src_rgbs = rng.rand(N_SRC, H, W, 3).astype(np.float32)
+    depth_range = np.array([[2.0, 6.0]], dtype=np.float32)
+
+    bundle = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(0))
+    cfg = RenderConfig(n_samples=N_SAMPLES, n_importance=N_IMPORTANCE, det=True,
+                       inv_uniform=True, backbone="ibrnet")
+
+    src_rgbs_j = jnp.asarray(src_rgbs)
+    src_cams_j = jnp.asarray(src_cams)
+
+    # ---- clean render benchmark
+    t0 = time.perf_counter()
+    extract = jax.jit(lambda p, x: bundle.feature_net.apply({"params": p}, x))
+    feats = extract(bundle.params["feature_net"], src_rgbs_j)
+    jax.block_until_ready(feats[0])
+    log(f"featmap extraction (compile+run): {time.perf_counter()-t0:.2f}s, "
+        f"shape {feats[0].shape}")
+
+    intr = target_cam[2:18].reshape(4, 4)
+    c2w = target_cam[18:34].reshape(4, 4)
+    rays_o, rays_d = get_rays(H, W, jnp.asarray(intr), jnp.asarray(c2w))
+    n_rays = rays_o.shape[0]
+    batch = {
+        "ray_o": rays_o, "ray_d": rays_d,
+        "depth_range": jnp.asarray(depth_range),
+        "camera": jnp.asarray(target_cam[None]),
+    }
+
+    render = jax.jit(
+        lambda p, b, sr, sc, f: render_rays_blocked(
+            p, bundle.modules, b, f, cfg, sr, sc, block_size=CHUNK
+        )["outputs_fine"]["rgb"]
+    )
+    t0 = time.perf_counter()
+    out = render(bundle.render_params, batch, src_rgbs_j, src_cams_j, feats)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    log(f"render compile+first run: {compile_s:.2f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        feats2 = extract(bundle.params["feature_net"], src_rgbs_j)
+        out = render(bundle.render_params, batch, src_rgbs_j, src_cams_j, feats2)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    render_s = min(times)
+    rays_per_sec = n_rays / render_s
+    log(f"clean render: {n_rays} rays in {render_s:.3f}s -> {rays_per_sec:,.0f} rays/s")
+
+    # ---- attack step benchmark
+    acfg = AttackConfig(h=H, w=W, n_rand=N_RAND, use_adam=True, adam_lr=1e-3,
+                        epsilon=8.0)
+    target = {
+        "camera": jnp.asarray(target_cam),
+        "rgb": jnp.asarray(rng.rand(H * W, 3).astype(np.float32)),
+        "depth": None,
+        "depth_range": jnp.asarray(depth_range),
+    }
+    src = {"rgbs": src_rgbs_j, "cameras": src_cams_j, "featmaps_clean": None}
+    step = jax.jit(make_attack_step(bundle, cfg, acfg))
+    state = init_attack_state(jax.random.PRNGKey(1), acfg, src_rgbs_j)
+    t0 = time.perf_counter()
+    state, aux = step(state, target, src, jax.random.PRNGKey(2))
+    jax.block_until_ready(state["delta"])
+    log(f"attack step compile+first run: {time.perf_counter()-t0:.2f}s "
+        f"loss={float(aux['loss']):.4f}")
+    t0 = time.perf_counter()
+    key = jax.random.PRNGKey(3)
+    for i in range(ATTACK_ITERS):
+        key, k = jax.random.split(key)
+        state, aux = step(state, target, src, k)
+    jax.block_until_ready(state["delta"])
+    attack_s = (time.perf_counter() - t0) / ATTACK_ITERS
+    attack_ips = 1.0 / attack_s
+    log(f"attack: {attack_s*1e3:.1f} ms/iter -> {attack_ips:.2f} iters/s "
+        f"(1000-iter attack in {1000*attack_s:.0f}s)")
+
+    print(json.dumps({
+        "metric": "clean_render_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

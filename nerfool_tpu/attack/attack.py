@@ -172,7 +172,8 @@ def init_attack_state(key, cfg: AttackConfig, src_rgbs):
             "step": jnp.zeros((), jnp.int32)}
 
 
-def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig):
+def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
+                     ray_sharding=None):
     """Build the pure attack step.
 
     step(state, target, src, key) -> (state, aux)
@@ -180,6 +181,11 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig):
                'depth_range' [1,2]}
       src:    {'rgbs' [V,Hs,Ws,3], 'cameras' [V,34],
                'featmaps_clean': (coarse, fine) or None}
+
+    ``ray_sharding``: optional NamedSharding splitting the ray axis over the
+    mesh — the sampled ray batch is shard-constrained so each chip shades
+    n_rand/n_chips rays and GSPMD psums the delta gradient over ICI (the
+    TPU-native replacement for the reference's DDP all-reduce).
     """
     modules = bundle.modules
     params = bundle.render_params
@@ -198,6 +204,9 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig):
             "depth_range": target["depth_range"],
             "camera": target["camera"][None],
         }
+        if ray_sharding is not None:
+            for k in ("ray_o", "ray_d"):
+                batch[k] = jax.lax.with_sharding_constraint(batch[k], ray_sharding)
         return render_rays(
             net_params, modules, batch, feats, rcfg,
             src_rgbs=src_rgbs, src_cameras=src_cams, key=key,
