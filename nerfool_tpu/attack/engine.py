@@ -1,0 +1,430 @@
+"""Adversarial evaluation engine — the flagship flow.
+
+Orchestrates what /root/reference/eval/ibrnet/eval_adv.py:525-1029 (and the GNT
+twin) does: per-scene view-specific or universal (view-generalizable) attacks,
+optional camera-pose perturbation / unseen-view interpolation / PCGrad /
+purification defenses, then whole-frame rendering of every test view with the
+perturbed sources and PSNR/SSIM/LPIPS measurement + image artifact dumps.
+
+All device work happens through the jitted attack step and the blocked
+whole-image renderer; this module is thin host-side control flow.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from nerfool_tpu.attack.attack import (
+    AttackConfig,
+    init_attack_state,
+    make_attack_step,
+)
+from nerfool_tpu.attack.geo_interp import sample_unseen_pose
+from nerfool_tpu.attack.perturb import project_delta
+from nerfool_tpu.data import dataset_dict
+from nerfool_tpu.data.base import Loader
+from nerfool_tpu.models.bundle import create_model, default_render_config
+from nerfool_tpu.utils.cameras import transform_src_cameras
+from nerfool_tpu.utils.vis import colorize_np, to8b
+
+
+def build_attack_config(args, h, w):
+    return AttackConfig(
+        h=h, w=w,
+        epsilon=float(args.epsilon), adv_lr=args.adv_lr, adv_iters=args.adv_iters,
+        use_adam=args.use_adam, adam_lr=args.adam_lr,
+        lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
+        n_rand=args.N_rand, sample_mode=args.sample_mode,
+        center_ratio=args.center_ratio,
+        use_patch_sampling=args.use_patch_sampling, patch_size=args.patch_size,
+        use_pseudo_gt=args.use_pseudo_gt or args.use_unseen_views,
+        density_loss=args.density_loss, depth_var_loss=args.depth_var_loss,
+        depth_diff_loss=args.depth_diff_loss,
+        depth_smooth_loss=args.depth_smooth_loss,
+        depth_consistency_loss=args.depth_consistency_loss,
+        camera_consistency_loss=args.camera_consistency_loss,
+        cam_src2tar=args.cam_src2tar, cam_tar2src=args.cam_tar2src,
+        cam_depth=args.cam_depth,
+        perturb_camera_no_detach=args.perturb_camera_no_detach,
+        use_pcgrad=args.use_pcgrad, major_loss=args.major_loss,
+        perturb_camera=args.perturb_camera,
+        perturb_camera_no_opt=args.perturb_camera_no_opt,
+        zero_camera_init=args.zero_camera_init,
+        rot_epsilon=args.rot_epsilon, trans_epsilon=args.trans_epsilon,
+    )
+
+
+class AdvEvaluator:
+    def __init__(self, args, bundle=None, dataset_kwargs=None):
+        import jax
+
+        self.args = args
+        self.jax = jax
+        args.det = True  # the reference forces deterministic sampling for attacks
+        self.bundle = bundle if bundle is not None else create_model(
+            args=args, backbone=args.backbone,
+            ckpt_path=args.ckpt_path or None,
+            rng_key=jax.random.PRNGKey(0),
+        )
+        self.render_cfg = default_render_config(args, backbone=args.backbone)
+        dkw = dataset_kwargs or {}
+        self.test_dataset = dataset_dict[args.eval_dataset](
+            args, "test", scenes=args.eval_scenes, **dkw
+        )
+        self.load_gt_depth = bool(args.gt_depth_path)
+        self.dataset_kwargs = dkw
+        self.key = jax.random.PRNGKey(1234)
+        self._step_cache = {}
+
+    # ---------- helpers ----------
+
+    def _split(self):
+        self.key, k = self.jax.random.split(self.key)
+        return k
+
+    def _make_target(self, data):
+        import jax.numpy as jnp
+
+        h, w = int(data["camera"][0]), int(data["camera"][1])
+        target = {
+            "camera": jnp.asarray(data["camera"].reshape(-1)[:34]),
+            "rgb": jnp.asarray(np.asarray(data["rgb"]).reshape(-1, 3))
+            if data.get("rgb") is not None else None,
+            "depth": jnp.asarray(np.asarray(data["depth"]).reshape(-1))
+            if data.get("depth") is not None else None,
+            "depth_full": jnp.asarray(np.asarray(data["depth"]).reshape(-1))
+            if data.get("depth") is not None else None,
+            "depth_range": jnp.asarray(
+                np.asarray(data["depth_range"]).reshape(1, 2)
+            ),
+        }
+        return target, (h, w)
+
+    def _make_src(self, data):
+        import jax.numpy as jnp
+
+        src_rgbs = jnp.asarray(np.asarray(data["src_rgbs"]))
+        src = {
+            "rgbs": src_rgbs,
+            "cameras": jnp.asarray(np.asarray(data["src_cameras"]).reshape(-1, 34)),
+            "featmaps_clean": self.bundle.extract_features(src_rgbs),
+        }
+        if data.get("src_depths") is not None:
+            src["depths"] = jnp.asarray(np.asarray(data["src_depths"]))
+        return src
+
+    def _attack_step_fn(self, cfg):
+        key = (cfg, self.render_cfg)
+        if key not in self._step_cache:
+            self._step_cache[key] = self.jax.jit(
+                make_attack_step(self.bundle, self.render_cfg, cfg)
+            )
+        return self._step_cache[key]
+
+    # ---------- attacks ----------
+
+    def attack_view_specific(self, data, verbose=False):
+        """Optimize delta against one test view's own source set
+        (eval_adv.py:762-843). Returns (delta, src, perturbed_src_cameras)."""
+        target, (h, w) = self._make_target(data)
+        src = self._make_src(data)
+        cfg = build_attack_config(self.args, h, w)
+        step = self._attack_step_fn(cfg)
+        state = init_attack_state(self._split(), cfg, src["rgbs"])
+        t0 = time.perf_counter()
+        for it in range(self.args.adv_iters):
+            state, aux = step(state, target, src, self._split())
+            if verbose and (it + 1) % max(1, self.args.adv_iters // 10) == 0:
+                print(f"  attack iter {it+1}/{self.args.adv_iters} "
+                      f"loss={float(aux['loss']):.5f} "
+                      f"({(time.perf_counter()-t0)/(it+1)*1e3:.0f} ms/iter)")
+        return self._finalize(state, src, cfg)
+
+    def attack_universal(self, verbose=False):
+        """Optimize one delta across train-split target views through the
+        global source set (eval_adv.py:546-740). Returns (delta, src_glb,
+        perturbed_src_cameras)."""
+        args = self.args
+        train_dataset = dataset_dict[args.eval_dataset](
+            args, "train", scenes=args.eval_scenes, **self.dataset_kwargs
+        )
+        src_dataset = dataset_dict[args.eval_dataset](
+            args, "test", scenes=args.eval_scenes,
+            use_glb_src=args.use_center_view, **self.dataset_kwargs
+        )
+        src = self._make_src(src_dataset[0])
+        render_poses = getattr(train_dataset, "render_poses_spiral", None)
+        if render_poses is None:
+            render_poses = getattr(train_dataset, "render_poses", None)
+
+        rng = np.random.RandomState(0)
+        loader = Loader(train_dataset, shuffle=True, seed=0,
+                        num_workers=args.workers, infinite=True)
+        it = iter(loader)
+        first = next(it)
+        target, (h, w) = self._make_target(first)
+        cfg = build_attack_config(args, h, w)
+        step = self._attack_step_fn(cfg)
+        state = init_attack_state(self._split(), cfg, src["rgbs"])
+
+        t0 = time.perf_counter()
+        data = first
+        for i in range(args.adv_iters):
+            if args.use_unseen_views:
+                pose = sample_unseen_pose(
+                    rng, render_poses,
+                    interp_upbound=args.interp_upbound,
+                    decouple=args.decouple_interp_range,
+                    upbound_rot=args.interp_upbound_rot,
+                    upbound_trans=args.interp_upbound_trans,
+                    sample_based_on_depth=args.sample_based_on_depth,
+                    beta=args.beta, temp=args.temp,
+                )
+                cam = np.asarray(data["camera"]).copy()
+                cam[18:34] = pose.reshape(-1)[:16]
+                data = dict(data, camera=cam)
+            target, _ = self._make_target(data)
+            state, aux = step(state, target, src, self._split())
+            if verbose and (i + 1) % max(1, args.adv_iters // 10) == 0:
+                print(f"  universal iter {i+1}/{args.adv_iters} "
+                      f"loss={float(aux['loss']):.5f} "
+                      f"({(time.perf_counter()-t0)/(i+1)*1e3:.0f} ms/iter)")
+            data = next(it)
+        return self._finalize(state, src, cfg)
+
+    def _finalize(self, state, src, cfg):
+        delta = state["delta"]
+        src_cameras = src["cameras"]
+        if cfg.perturb_camera:
+            src_cameras = transform_src_cameras(
+                src["cameras"], state["rot"], state["trans"]
+            )
+        # defenses (gnt stack): purification then random noise
+        if getattr(self.args, "use_purification", False):
+            delta = self._purify(delta, src, src_cameras)
+        if getattr(self.args, "def_random_noise", 0) > 0:
+            from nerfool_tpu.attack.purify import apply_random_noise_defense
+
+            delta = apply_random_noise_defense(
+                self._split(), delta, self.args.def_random_noise
+            )
+        return delta, src, src_cameras
+
+    def _purify(self, delta, src, src_cameras):
+        from nerfool_tpu.attack.purify import PurifyConfig, make_purify_step
+
+        args = self.args
+        train_dataset = dataset_dict[args.eval_dataset](
+            args, "train", scenes=args.eval_scenes, **self.dataset_kwargs
+        )
+        loader = Loader(train_dataset, shuffle=True, seed=1,
+                        num_workers=args.workers, infinite=True)
+        it = iter(loader)
+        first = next(it)
+        target, (h, w) = self._make_target(first)
+        cfg = PurifyConfig(
+            h=h, w=w, purif_epsilon=args.purif_epsilon,
+            purif_iters=args.purif_iters, adam_lr=args.adam_lr or 1e-3,
+            lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
+            n_rand=args.N_rand, sample_mode=args.sample_mode,
+            center_ratio=args.center_ratio,
+            use_patch_sampling=args.use_patch_sampling, patch_size=args.patch_size,
+            use_self_purification=args.use_self_purification,
+            purif_consistency_loss=args.purif_consistency_loss,
+        )
+        init_state, step = make_purify_step(self.bundle, self.render_cfg, cfg)
+        step = self.jax.jit(step)
+        state = init_state(self._split(), src["rgbs"], delta)
+        for _ in range(args.purif_iters):
+            target, _ = self._make_target(next(it))
+            state, _ = step(state, target, src, delta, self._split())
+        return delta + state["purif"]
+
+    # ---------- evaluation ----------
+
+    def render_view(self, data, delta, src, src_cameras):
+        """Whole-frame render of one test view with perturbed sources."""
+        import jax.numpy as jnp
+
+        from nerfool_tpu.render.render_image import render_single_image
+        from nerfool_tpu.utils.cameras import get_rays
+
+        args = self.args
+        h, w = int(data["camera"][0]), int(data["camera"][1])
+        cam = np.asarray(data["camera"]).reshape(-1)[:34]
+        intr = cam[2:18].reshape(4, 4)
+        c2w = cam[18:34].reshape(4, 4)
+        rays_o, rays_d = get_rays(
+            h, w, jnp.asarray(intr), jnp.asarray(c2w),
+            render_stride=args.render_stride,
+        )
+        batch = {
+            "ray_o": rays_o, "ray_d": rays_d,
+            "depth_range": jnp.asarray(np.asarray(data["depth_range"]).reshape(1, 2)),
+            "camera": jnp.asarray(cam[None]),
+        }
+        feats = self.bundle.extract_features(src["rgbs"] + delta)
+        feats_clean = None
+        if args.use_clean_color or args.use_clean_density:
+            feats_clean = src["featmaps_clean"]
+        return render_single_image(
+            self.bundle.render_params, self.bundle.modules, batch, feats,
+            self.render_cfg, h, w, src["rgbs"], src_cameras,
+            chunk_size=args.chunk_size, render_stride=args.render_stride,
+            featmaps_clean=feats_clean,
+        )
+
+    def evaluate(self, out_dir=None, save_images=True, verbose=True,
+                 max_views=None):
+        """Full eval loop: attack (once for universal; per view otherwise),
+        render, measure. Returns the results dict keyed like the reference's
+        psnr_{scene}_{step}.txt."""
+        import jax.numpy as jnp
+
+        from nerfool_tpu.metrics.image import psnr as psnr_fn, ssim as ssim_fn
+
+        args = self.args
+        lpips_fn = self._build_lpips()
+        scene = args.eval_scenes[0] if args.eval_scenes else args.eval_dataset
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+        delta = src_glb = cams_glb = None
+        if not args.no_attack and not args.view_specific:
+            if verbose:
+                print("Attack with Adv Perturbations Generalizable across Views...")
+            delta, src_glb, cams_glb = self.attack_universal(verbose=verbose)
+        elif args.no_attack and not args.view_specific:
+            src_dataset = dataset_dict[args.eval_dataset](
+                args, "test", scenes=args.eval_scenes,
+                use_glb_src=args.use_center_view, **self.dataset_kwargs
+            )
+            src_glb = self._make_src(src_dataset[0])
+            cams_glb = src_glb["cameras"]
+            delta = jnp.zeros_like(src_glb["rgbs"])
+
+        results = {scene: {}}
+        sums = np.zeros(6)
+        n_views = len(self.test_dataset)
+        if max_views:
+            n_views = min(n_views, max_views)
+
+        for i in range(n_views):
+            data = self.test_dataset[i]
+            file_id = os.path.splitext(os.path.basename(data["rgb_path"]))[0] or f"view{i:03d}"
+
+            if src_glb is not None:
+                d_i, src_i, cams_i = delta, src_glb, cams_glb
+            elif args.no_attack:
+                src_i = self._make_src(data)
+                cams_i = src_i["cameras"]
+                d_i = jnp.zeros_like(src_i["rgbs"])
+            else:
+                if verbose:
+                    print(f"[{file_id}] view-specific attack "
+                          f"({args.adv_iters} iters)...")
+                if args.use_trans_attack and i > 0:
+                    # transfer attack: reuse view 0's delta on this view's sources
+                    src_i = self._make_src(data)
+                    cams_i = src_i["cameras"]
+                else:
+                    d_i, src_i, cams_i = self.attack_view_specific(data, verbose=verbose)
+
+            ret = self.render_view(data, d_i, src_i, cams_i)
+            gt = np.asarray(data["rgb"])[:: args.render_stride, :: args.render_stride]
+
+            row = {}
+            for li, level in enumerate(("outputs_coarse", "outputs_fine")):
+                name = "coarse" if li == 0 else "fine"
+                if ret[level] is None:
+                    row[f"{name}_psnr"] = row[f"{name}_ssim"] = row[f"{name}_lpips"] = 0.0
+                    continue
+                pred = np.clip(np.asarray(ret[level]["rgb"]), 0, 1)
+                row[f"{name}_psnr"] = float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt)))
+                row[f"{name}_ssim"] = float(ssim_fn(jnp.asarray(pred), jnp.asarray(gt)))
+                row[f"{name}_lpips"] = (
+                    float(lpips_fn(pred[None], gt[None])[0]) if lpips_fn else 0.0
+                )
+                if save_images and out_dir:
+                    self._save_view_images(out_dir, file_id, name, pred, gt,
+                                           ret[level], data)
+            if save_images and out_dir:
+                avg = to8b(np.mean(np.asarray(src_i["rgbs"]), axis=0))
+                self._imwrite(os.path.join(out_dir, f"{file_id}_average.png"), avg)
+                if args.export_adv_source_img:
+                    adv = np.asarray(src_i["rgbs"] + d_i)
+                    for j in range(adv.shape[0]):
+                        self._imwrite(
+                            os.path.join(out_dir, f"adv_src_{i}_{j}.png"), to8b(adv[j])
+                        )
+
+            results[scene][file_id] = row
+            sums += np.array([row["coarse_psnr"], row["fine_psnr"],
+                              row["coarse_ssim"], row["fine_ssim"],
+                              row["coarse_lpips"], row["fine_lpips"]])
+            if verbose:
+                m = sums / (i + 1)
+                print(
+                    f"{scene} {file_id}: coarse/fine psnr "
+                    f"{row['coarse_psnr']:.3f}/{row['fine_psnr']:.3f}  "
+                    f"running mean {m[0]:.3f}/{m[1]:.3f}  ssim {m[2]:.3f}/{m[3]:.3f}  "
+                    f"lpips {m[4]:.3f}/{m[5]:.3f}"
+                )
+
+        means = sums / max(n_views, 1)
+        results[scene]["coarse_mean_psnr"] = float(means[0])
+        results[scene]["fine_mean_psnr"] = float(means[1])
+        results[scene]["coarse_mean_ssim"] = float(means[2])
+        results[scene]["fine_mean_ssim"] = float(means[3])
+        results[scene]["coarse_mean_lpips"] = float(means[4])
+        results[scene]["fine_mean_lpips"] = float(means[5])
+        if out_dir:
+            with open(os.path.join(out_dir, f"psnr_{scene}.txt"), "w") as f:
+                f.write(str(results))
+        return results
+
+    def _build_lpips(self):
+        if not getattr(self.args, "lpips_weights", ""):
+            return None
+        import jax.numpy as jnp
+
+        from nerfool_tpu.metrics.lpips import LPIPS, load_lpips_weights
+
+        params = load_lpips_weights(self.args.lpips_weights)
+        model = LPIPS()
+        fn = self.jax.jit(lambda a, b: model.apply({"params": params}, a, b))
+        return lambda a, b: np.asarray(fn(jnp.asarray(a), jnp.asarray(b)))
+
+    def _imwrite(self, path, img):
+        import imageio.v2 as imageio
+
+        imageio.imwrite(path, img)
+
+    def _save_view_images(self, out_dir, file_id, name, pred, gt, outputs, data):
+        self._imwrite(os.path.join(out_dir, f"{file_id}_pred_{name}.png"), to8b(pred))
+        if name == "coarse":
+            self._imwrite(os.path.join(out_dir, f"{file_id}_gt_rgb.png"), to8b(gt))
+        err = np.sum((pred - gt) ** 2, axis=-1)
+        self._imwrite(
+            os.path.join(out_dir, f"{file_id}_err_map_{name}.png"),
+            to8b(colorize_np(err, range=(0.0, 1.0))),
+        )
+        depth = np.asarray(outputs["depth"]) if outputs.get("depth") is not None else None
+        if depth is not None:
+            self._imwrite(
+                os.path.join(out_dir, f"{file_id}_depth_{name}.png"),
+                (depth.squeeze() * 1000.0).astype(np.uint16),
+            )
+            drange = tuple(np.asarray(data["depth_range"]).reshape(-1)[:2])
+            self._imwrite(
+                os.path.join(out_dir, f"{file_id}_depth_vis_{name}.png"),
+                to8b(colorize_np(depth, range=drange)),
+            )
+        if outputs.get("weights") is not None:
+            acc = np.sum(np.asarray(outputs["weights"]), axis=-1)
+            self._imwrite(
+                os.path.join(out_dir, f"{file_id}_acc_map_{name}.png"),
+                to8b(colorize_np(acc, range=(0.0, 1.0))),
+            )

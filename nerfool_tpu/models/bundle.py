@@ -90,7 +90,10 @@ def create_model(
         trans_depth = getattr(args, "trans_depth", trans_depth)
         anti_alias_pooling = bool(getattr(args, "anti_alias_pooling", anti_alias_pooling))
         coarse_only = getattr(args, "coarse_only", coarse_only)
-        single_net = getattr(args, "single_net", single_net)
+        # single_net is a GNT-stack concept (gnt/model.py:30-39); the IBRNet
+        # stack always has distinct coarse/fine heads
+        if backbone == "gnt":
+            single_net = getattr(args, "single_net", single_net)
         ckpt_path = getattr(args, "ckpt_path", ckpt_path) or ckpt_path
 
     feature_net = ResUNet(
@@ -178,9 +181,11 @@ def default_render_config(args=None, backbone="ibrnet", **overrides) -> RenderCo
         mapping = dict(
             n_samples="N_samples", n_importance="N_importance",
             inv_uniform="inv_uniform", det="det", white_bkgd="white_bkgd",
-            single_net="single_net", ret_alpha="ret_alpha", geo_noise="geo_noise",
+            ret_alpha="ret_alpha", geo_noise="geo_noise",
             use_clean_color="use_clean_color", use_clean_density="use_clean_density",
         )
+        if backbone == "gnt":
+            mapping["single_net"] = "single_net"
         for ours, theirs in mapping.items():
             if hasattr(args, theirs):
                 fields[ours] = getattr(args, theirs)
