@@ -80,7 +80,7 @@ def main():
     t0 = time.perf_counter()
     extract = jax.jit(lambda p, x: bundle.feature_net.apply({"params": p}, x))
     feats = extract(bundle.params["feature_net"], src_rgbs_j)
-    jax.block_until_ready(feats[0])
+    _ = float(jnp.sum(feats[0]))
     log(f"featmap extraction (compile+run): {time.perf_counter()-t0:.2f}s, "
         f"shape {feats[0].shape}")
 
@@ -99,9 +99,14 @@ def main():
             p, bundle.modules, b, f, cfg, sr, sc, block_size=CHUNK
         )["outputs_fine"]["rgb"]
     )
+    def force(x):
+        # on the axon relay platform block_until_ready does not wait for remote
+        # execution; fetching a device-reduced scalar does
+        return float(jnp.sum(x))
+
     t0 = time.perf_counter()
     out = render(bundle.render_params, batch, src_rgbs_j, src_cams_j, feats)
-    jax.block_until_ready(out)
+    force(out)
     compile_s = time.perf_counter() - t0
     log(f"render compile+first run: {compile_s:.2f}s")
 
@@ -110,7 +115,7 @@ def main():
         t0 = time.perf_counter()
         feats2 = extract(bundle.params["feature_net"], src_rgbs_j)
         out = render(bundle.render_params, batch, src_rgbs_j, src_cams_j, feats2)
-        jax.block_until_ready(out)
+        force(out)
         times.append(time.perf_counter() - t0)
     render_s = min(times)
     rays_per_sec = n_rays / render_s
@@ -130,7 +135,6 @@ def main():
     state = init_attack_state(jax.random.PRNGKey(1), acfg, src_rgbs_j)
     t0 = time.perf_counter()
     state, aux = step(state, target, src, jax.random.PRNGKey(2))
-    jax.block_until_ready(state["delta"])
     log(f"attack step compile+first run: {time.perf_counter()-t0:.2f}s "
         f"loss={float(aux['loss']):.4f}")
     t0 = time.perf_counter()
@@ -138,7 +142,7 @@ def main():
     for i in range(ATTACK_ITERS):
         key, k = jax.random.split(key)
         state, aux = step(state, target, src, k)
-    jax.block_until_ready(state["delta"])
+    force(state["delta"])
     attack_s = (time.perf_counter() - t0) / ATTACK_ITERS
     attack_ips = 1.0 / attack_s
     log(f"attack: {attack_s*1e3:.1f} ms/iter -> {attack_ips:.2f} iters/s "

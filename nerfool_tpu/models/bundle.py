@@ -50,15 +50,23 @@ class ModelBundle:
         The attack differentiates through this at full image resolution every
         iteration; remat trades recompute for activation memory exactly like the
         reference's checkpoint_wrapper (/root/reference/gnt/model.py:89-105).
+        Jitted when called outside a trace (op-by-op dispatch is prohibitively
+        slow on remote-relay TPU backends); inlines into enclosing jit regions.
         """
         p = params if params is not None else self.params["feature_net"]
-        apply = lambda pp, x: self.feature_net.apply({"params": pp}, x)
-        if self.remat_features:
-            apply = jax.checkpoint(apply)
+        apply = self._feature_apply()
         coarse, fine = apply(p, src_rgbs)
         if fine is None:
             fine = coarse
         return coarse, fine
+
+    def _feature_apply(self):
+        if not hasattr(self, "_feature_apply_fn"):
+            fn = lambda pp, x: self.feature_net.apply({"params": pp}, x)
+            if self.remat_features:
+                fn = jax.checkpoint(fn)
+            object.__setattr__(self, "_feature_apply_fn", jax.jit(fn))
+        return self._feature_apply_fn
 
 
 def create_model(
@@ -141,9 +149,10 @@ def create_model(
         r, s = 2, 8
         x = jnp.zeros((v, h, w, 3))
         params = {"feature_net": feature_net.init(kf, x)["params"]}
-        rgb_feat = jnp.zeros((r, s, v, 3 + coarse_feat_dim))
-        ray_diff = jnp.zeros((r, s, v, 4))
-        mask = jnp.ones((r, s, v, 1))
+        # views-first aggregator layout [V, R, S, C]
+        rgb_feat = jnp.zeros((v, r, s, 3 + coarse_feat_dim))
+        ray_diff = jnp.zeros((v, r, s, 4))
+        mask = jnp.ones((v, r, s, 1))
         if backbone == "ibrnet":
             params["net_coarse"] = net_coarse.init(kc, rgb_feat, ray_diff, mask)["params"]
             if net_fine is not None:

@@ -51,19 +51,19 @@ class ViewAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, pos, mask=None):
-        # q: [R, S, D]; k: [R, S, V, D]; pos: [R, S, V, 4]; mask: [R, S, V, 1]
+        # views-first: q [R, S, D]; k [V, R, S, D]; pos [V, R, S, 4]; mask [V, R, S, 1]
         qp = nn.Dense(self.dim, use_bias=False, name="q_fc")(q)
         kp = nn.Dense(self.dim, use_bias=False, name="k_fc")(k)
         v = nn.Dense(self.dim, use_bias=False, name="v_fc")(kp)
         pos = nn.Dense(self.dim // 8, name="pos_fc0")(pos)
         pos = nn.Dense(self.dim, name="pos_fc1")(nn.relu(pos))
-        attn = kp - qp[:, :, None, :] + pos
+        attn = kp - qp[None] + pos
         attn = nn.Dense(self.dim // 8, name="attn_fc0")(attn)
         attn = nn.Dense(self.dim, name="attn_fc1")(nn.relu(attn))
         if mask is not None:
             attn = jnp.where(mask == 0, -1e9, attn)
-        attn = jax.nn.softmax(attn, axis=-2)  # over views
-        x = jnp.sum((v + pos) * attn, axis=2)  # [R, S, D]
+        attn = jax.nn.softmax(attn, axis=0)  # over views
+        x = jnp.sum((v + pos) * attn, axis=0)  # [R, S, D]
         return nn.Dense(self.dim, name="out_fc")(x)
 
 
@@ -144,9 +144,9 @@ class GNTAggregator(nn.Module):
     @nn.compact
     def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d):
         """
-        :param rgb_feat: [R, S, V, 3 + in_feat_ch]
-        :param ray_diff: [R, S, V, 4]
-        :param mask: [R, S, V, 1]
+        :param rgb_feat: [V, R, S, 3 + in_feat_ch] (views-first, gather-native)
+        :param ray_diff: [V, R, S, 4]
+        :param mask: [V, R, S, 1]
         :param pts: [R, S, 3] sample points (world)
         :param ray_d: [R, 3] ray directions
         :return: [R, 3] rgb, or [R, 3 + S] (rgb ++ per-sample weights) if ret_alpha
@@ -158,7 +158,7 @@ class GNTAggregator(nn.Module):
 
         x = nn.Dense(self.netwidth, name="rgbfeat_fc0")(rgb_feat)
         x = nn.Dense(self.netwidth, name="rgbfeat_fc1")(nn.relu(x))
-        q = jnp.max(x, axis=2)  # [R, S, D] max-pool over views
+        q = jnp.max(x, axis=0)  # [R, S, D] max-pool over views
 
         attn_out = None
         for i in range(self.trans_depth):

@@ -28,14 +28,14 @@ def sinusoid_pos_encoding(n_samples: int, d_hid: int, dtype=jnp.float32):
     return jnp.asarray(table, dtype=dtype)
 
 
-def fused_mean_variance(x, weight):
+def fused_mean_variance(x, weight, axis=0):
     """Weighted mean and (biased, around-weighted-mean) variance over views.
 
-    :param x: [R, S, V, F]; weight: [R, S, V, 1] summing to ~1 over V
-    :return: (mean [R, S, 1, F], var [R, S, 1, F])
+    :param x: [V, R, S, F]; weight: [V, R, S, 1] summing to ~1 over V (axis 0)
+    :return: (mean [1, R, S, F], var [1, R, S, F])
     """
-    mean = jnp.sum(x * weight, axis=2, keepdims=True)
-    var = jnp.sum(weight * (x - mean) ** 2, axis=2, keepdims=True)
+    mean = jnp.sum(x * weight, axis=axis, keepdims=True)
+    var = jnp.sum(weight * (x - mean) ** 2, axis=axis, keepdims=True)
     return mean, var
 
 
@@ -77,12 +77,14 @@ class IBRNetAggregator(nn.Module):
     @nn.compact
     def __call__(self, rgb_feat, ray_diff, mask):
         """
-        :param rgb_feat: [R, S, V, 3 + in_feat_ch] gathered colors + features
-        :param ray_diff: [R, S, V, 4] direction difference (3) + dot (1)
-        :param mask: [R, S, V, 1] float validity
+        :param rgb_feat: [V, R, S, 3 + in_feat_ch] gathered colors + features
+            (views-FIRST: all pooling/softmax reductions run over the major
+            axis, matching the projector's gather-native layout — no transposes)
+        :param ray_diff: [V, R, S, 4] direction difference (3) + dot (1)
+        :param mask: [V, R, S, 1] float validity
         :return: raw [R, S, 4] (rgb, sigma)
         """
-        num_views = rgb_feat.shape[2]
+        num_views = rgb_feat.shape[0]
         direction_feat = MLP([16, self.in_feat_ch + 3], act="elu", final_act="elu",
                              name="ray_dir_fc")(ray_diff)
         rgb_in = rgb_feat[..., :3]
@@ -92,15 +94,15 @@ class IBRNetAggregator(nn.Module):
             s = self.param("s", nn.initializers.constant(0.2), ())
             dot_prod = ray_diff[..., 3:4]
             exp_dot = jnp.exp(jnp.abs(s) * (dot_prod - 1))
-            weight = (exp_dot - jnp.min(exp_dot, axis=2, keepdims=True)) * mask
-            weight = weight / (jnp.sum(weight, axis=2, keepdims=True) + 1e-8)
+            weight = (exp_dot - jnp.min(exp_dot, axis=0, keepdims=True)) * mask
+            weight = weight / (jnp.sum(weight, axis=0, keepdims=True) + 1e-8)
         else:
-            weight = mask / (jnp.sum(mask, axis=2, keepdims=True) + 1e-8)
+            weight = mask / (jnp.sum(mask, axis=0, keepdims=True) + 1e-8)
 
         mean, var = fused_mean_variance(rgb_feat, weight)
-        globalfeat = jnp.concatenate([mean, var], axis=-1)  # [R,S,1,2F]
+        globalfeat = jnp.concatenate([mean, var], axis=-1)  # [1,R,S,2F]
         x = jnp.concatenate(
-            [jnp.broadcast_to(globalfeat, globalfeat.shape[:2] + (num_views,) + globalfeat.shape[3:]),
+            [jnp.broadcast_to(globalfeat, (num_views,) + globalfeat.shape[1:]),
              rgb_feat], axis=-1)
         x = MLP([64, 32], act="elu", final_act="elu", name="base_fc")(x)
 
@@ -109,14 +111,14 @@ class IBRNetAggregator(nn.Module):
         vis = jax.nn.sigmoid(vis) * mask
         x = x + x_res
         vis = MLP([32, 1], act="elu", final_act="sigmoid", name="vis_fc2")(x * vis) * mask
-        weight = vis / (jnp.sum(vis, axis=2, keepdims=True) + 1e-8)
+        weight = vis / (jnp.sum(vis, axis=0, keepdims=True) + 1e-8)
 
         mean, var = fused_mean_variance(x, weight)
         globalfeat = jnp.concatenate(
-            [mean.squeeze(2), var.squeeze(2), jnp.mean(weight, axis=2)], axis=-1
+            [mean.squeeze(0), var.squeeze(0), jnp.mean(weight, axis=0)], axis=-1
         )  # [R, S, 32*2+1]
         globalfeat = MLP([64, 16], act="elu", final_act="elu", name="geometry_fc")(globalfeat)
-        num_valid_obs = jnp.sum(mask, axis=2)  # [R, S, 1]
+        num_valid_obs = jnp.sum(mask, axis=0)  # [R, S, 1]
         globalfeat = globalfeat + sinusoid_pos_encoding(
             globalfeat.shape[1], 16, dtype=globalfeat.dtype
         )[None]
@@ -130,6 +132,6 @@ class IBRNetAggregator(nn.Module):
         x = jnp.concatenate([x, vis, ray_diff], axis=-1)
         x = MLP([16, 8, 1], act="elu", name="rgb_fc")(x)
         x = jnp.where(mask == 0, -1e9, x)
-        blending_weights = jax.nn.softmax(x, axis=2)
-        rgb_out = jnp.sum(rgb_in * blending_weights, axis=2)  # [R, S, 3]
+        blending_weights = jax.nn.softmax(x, axis=0)
+        rgb_out = jnp.sum(rgb_in * blending_weights, axis=0)  # [R, S, 3]
         return jnp.concatenate([rgb_out, sigma_out], axis=-1)

@@ -9,6 +9,7 @@ image (the attack backpropagates through this into the source-view pixels).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def grid_sample_bilinear(image, grid):
@@ -55,3 +56,51 @@ def grid_sample_bilinear(image, grid):
         + corner(x1, y1, wx1 * wy1)
     )
     return out.reshape(out_shape + (c,))
+
+
+def grid_sample_bilinear_batched(images, grid):
+    """Batched-over-views bilinear sampling as ONE flat row-gather.
+
+    Semantically identical to vmapping :func:`grid_sample_bilinear` over the
+    leading axis, but the (view, y, x) triple is folded into a single flat row
+    index into [V*H*W, C] — XLA lowers 1-D row gathers onto the TPU at memory
+    bandwidth, while batched 2-D advanced indexing lowers to a far slower
+    multi-dimensional gather (~25x in practice on v5e).
+
+    :param images: [V, H, W, C]
+    :param grid: [V, ..., 2] normalized coords, align_corners=True, zeros padding
+    :return: [V, ..., C]
+    """
+    v, h, w, c = images.shape
+    out_shape = grid.shape[:-1]
+    flat = images.reshape(v * h * w, c)
+    p = int(np.prod(out_shape[1:])) if grid.ndim > 2 else grid.shape[1]
+
+    gx = grid[..., 0].reshape(v, -1)
+    gy = grid[..., 1].reshape(v, -1)
+    ix = (gx + 1.0) * 0.5 * (w - 1)
+    iy = (gy + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx1 = ix - x0
+    wx0 = 1.0 - wx1
+    wy1 = iy - y0
+    wy0 = 1.0 - wy1
+    base = (jnp.arange(v, dtype=jnp.int32) * (h * w))[:, None]
+
+    def corner(xf, yf, wgt):
+        valid = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
+        xi = jnp.clip(xf.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(yf.astype(jnp.int32), 0, h - 1)
+        rows = flat[(base + yi * w + xi).reshape(-1)]  # [V*P, C]
+        return rows * (wgt * valid.astype(images.dtype)).reshape(-1, 1)
+
+    out = (
+        corner(x0, y0, wx0 * wy0)
+        + corner(x1, y0, wx1 * wy0)
+        + corner(x0, y1, wx0 * wy1)
+        + corner(x1, y1, wx1 * wy1)
+    )
+    return out.reshape((v,) + out_shape[1:] + (c,))

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from nerfool_tpu.ops.grid_sample import grid_sample_bilinear
+from nerfool_tpu.ops.grid_sample import grid_sample_bilinear_batched
 
 TINY = 1e-6
 
@@ -92,9 +92,10 @@ def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
     :param featmaps: [V, Hf, Wf, C] feature maps, channels-last (any resolution;
         normalized coords make the gather resolution-agnostic, as in F.grid_sample)
     :param stop_camera_grad: detach source cameras (IBRNet semantics)
-    :return: (rgb_feat [n_rays, n_samples, V, 3+C],
-              ray_diff [n_rays, n_samples, V, 4],
-              mask [n_rays, n_samples, V, 1] float)
+    :return: views-first tensors
+             (rgb_feat [V, n_rays, n_samples, 3+C],
+              ray_diff [V, n_rays, n_samples, 4],
+              mask [V, n_rays, n_samples, 1] float)
     """
     if stop_camera_grad:
         src_cameras = jax.lax.stop_gradient(src_cameras)
@@ -105,14 +106,14 @@ def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
     resize = jnp.stack([w - 1.0, h - 1.0])
     norm_pix = 2.0 * pix / resize - 1.0
 
-    rgb_sampled = jax.vmap(grid_sample_bilinear)(src_rgbs, norm_pix)  # [V,R,S,3]
-    feat_sampled = jax.vmap(grid_sample_bilinear)(featmaps, norm_pix)  # [V,R,S,C]
+    rgb_sampled = grid_sample_bilinear_batched(src_rgbs, norm_pix)  # [V,R,S,3]
+    feat_sampled = grid_sample_bilinear_batched(featmaps, norm_pix)  # [V,R,S,C]
     rgb_feat = jnp.concatenate([rgb_sampled, feat_sampled], axis=-1)
-    rgb_feat = jnp.transpose(rgb_feat, (1, 2, 0, 3))  # [R,S,V,3+C]
 
     ray_diff = compute_angles(xyz, query_camera, src_cameras)  # [V,R,S,4]
-    ray_diff = jnp.transpose(ray_diff, (1, 2, 0, 3))
+    mask = ((inbound_mask(pix, h, w) & in_front).astype(rgb_feat.dtype))[..., None]
 
-    mask = (inbound_mask(pix, h, w) & in_front).astype(rgb_feat.dtype)  # [V,R,S]
-    mask = jnp.transpose(mask, (1, 2, 0))[..., None]  # [R,S,V,1]
+    # views-FIRST layout [V, R, S, C]: the gather's native order; the view axis
+    # (the reduction axis of every aggregator pooling/softmax) stays major, so
+    # no transposes/relayouts hit the hot path
     return rgb_feat, ray_diff, mask

@@ -77,7 +77,7 @@ def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
     shade = make_shade_fn(model, cfg)
     net_key = "net_coarse" if (level == "coarse" or cfg.single_net) else "net_fine"
     raw = shade(params[net_key], model[net_key], rgb_feat, ray_diff, mask, pts, ray_d)
-    pixel_mask = jnp.sum(mask[..., 0], axis=2) > 1  # >= 2 observations
+    pixel_mask = jnp.sum(mask[..., 0], axis=0) > 1  # >= 2 observations (views-first)
     return raw, pixel_mask
 
 

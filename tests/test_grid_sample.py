@@ -41,3 +41,15 @@ def test_exact_corners(rng):
     out = np.asarray(grid_sample_bilinear(jnp.asarray(image), jnp.asarray(grid)))
     np.testing.assert_allclose(out[0], image[0, 0], rtol=1e-6)
     np.testing.assert_allclose(out[1], image[-1, -1], rtol=1e-6)
+
+
+def test_batched_matches_vmap(rng):
+    import jax
+
+    from nerfool_tpu.ops.grid_sample import grid_sample_bilinear_batched
+
+    images = rng.randn(3, 11, 13, 6).astype(np.float32)
+    grid = rng.uniform(-1.4, 1.4, size=(3, 7, 5, 2)).astype(np.float32)
+    ref = np.asarray(jax.vmap(grid_sample_bilinear)(jnp.asarray(images), jnp.asarray(grid)))
+    ours = np.asarray(grid_sample_bilinear_batched(jnp.asarray(images), jnp.asarray(grid)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)

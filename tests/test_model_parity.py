@@ -73,8 +73,12 @@ def test_ibrnet_aggregator_parity(torch_mod, rng):
         ref = tm(
             torch.from_numpy(rgb_feat), torch.from_numpy(ray_diff), torch.from_numpy(mask)
         ).numpy()
+    # ours takes views-first [V,R,S,C]
+    t = lambda a: np.ascontiguousarray(np.transpose(a, (2, 0, 1, 3)))
     ours = np.asarray(
-        IBRNetAggregator(in_feat_ch=32).apply({"params": params}, rgb_feat, ray_diff, mask)
+        IBRNetAggregator(in_feat_ch=32).apply(
+            {"params": params}, t(rgb_feat), t(ray_diff), t(mask)
+        )
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
 
@@ -108,9 +112,10 @@ def test_gnt_aggregator_parity(torch_mod, rng):
             torch.from_numpy(pts),
             torch.from_numpy(ray_d),
         ).numpy()
+    t = lambda a: np.ascontiguousarray(np.transpose(a, (2, 0, 1, 3)))
     ours = np.asarray(
         GNTAggregator(in_feat_ch=32, netwidth=64, trans_depth=depth, ret_alpha=True).apply(
-            {"params": params}, rgb_feat, ray_diff, mask, pts, ray_d
+            {"params": params}, t(rgb_feat), t(ray_diff), t(mask), pts, ray_d
         )
     )
     assert ours.shape == ref.shape == (r, 3 + s)

@@ -86,9 +86,9 @@ def test_epipolar_gather_end_to_end(rng):
         jnp.asarray(xyz), jnp.asarray(q_cam), jnp.asarray(src_rgbs),
         jnp.asarray(cams), jnp.asarray(featmaps),
     )
-    assert rgb_feat.shape == (6, 5, v, 11)
-    assert ray_diff.shape == (6, 5, v, 4)
-    assert mask.shape == (6, 5, v, 1)
+    assert rgb_feat.shape == (v, 6, 5, 11)
+    assert ray_diff.shape == (v, 6, 5, 4)
+    assert mask.shape == (v, 6, 5, 1)
 
     # torch reference for the rgb gather
     pix, in_front = _torch_projections(xyz, cams)
@@ -96,7 +96,7 @@ def test_epipolar_gather_end_to_end(rng):
     norm_pix = 2 * pix / resize - 1.0
     imgs = torch.from_numpy(src_rgbs).permute(0, 3, 1, 2)
     grid = torch.from_numpy(norm_pix.reshape(v, 6, 5, 2))
-    ref_rgb = F.grid_sample(imgs, grid, align_corners=True).permute(2, 3, 0, 1).numpy()
+    ref_rgb = F.grid_sample(imgs, grid, align_corners=True).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(
         np.asarray(rgb_feat[..., :3]), ref_rgb, rtol=1e-4, atol=1e-5
     )
