@@ -56,6 +56,26 @@ def build_attack_config(args, h, w):
     )
 
 
+def save_attack_state(path, state, meta=None):
+    """Checkpoint the attack state (delta, camera params, optimizer moments) so
+    1000-iteration attacks are resumable — the reference keeps attack state only
+    in memory (SURVEY.md §5 checkpoint/resume)."""
+    import pickle
+
+    import jax
+
+    with open(path, "wb") as f:
+        pickle.dump({"state": jax.device_get(state), "meta": meta or {}}, f)
+
+
+def load_attack_state(path):
+    import pickle
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    return blob["state"], blob["meta"]
+
+
 class AdvEvaluator:
     def __init__(self, args, bundle=None, dataset_kwargs=None):
         import jax

@@ -1,0 +1,11 @@
+#!/bin/bash
+# Fan-out: view-specific attack over all 8 LLFF scenes
+# (equivalent of /root/reference/eval/ibrnet/eval_llff_all.sh)
+set -e
+cd "$(dirname "$0")/.."
+for scene in fern flower fortress horns leaves orchids room trex; do
+  python scripts/eval_adv.py --config configs/ibrnet/eval_llff.txt \
+    --eval_scenes $scene --expname attack_$scene \
+    --view_specific --adv_iters 1000 --epsilon 8 --use_adam \
+    --adam_lr 1e-3 --adv_lr 1 --lr_gamma 1 --num_source_views 4 "$@"
+done

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Backbone training entry point (equivalent of /root/reference/train.py).
+
+Supports plain training and adversarial training (--use_adv_train) with the
+same flags; data parallelism is ray-axis sharding over the TPU mesh rather
+than DDP processes.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nerfool_tpu.config import config_parser
+
+
+def main():
+    args = config_parser().parse_args()
+
+    import jax
+
+    from nerfool_tpu.data import create_training_dataset
+    from nerfool_tpu.data.base import Loader
+    from nerfool_tpu.models.bundle import create_model, default_render_config
+    from nerfool_tpu.train.trainer import TrainConfig, Trainer
+
+    dataset = create_training_dataset(args)
+    sample = dataset[0]
+    h, w = int(sample["camera"][0]), int(sample["camera"][1])
+
+    bundle = create_model(args=args, backbone=args.backbone,
+                          ckpt_path=args.ckpt_path or None)
+    render_cfg = default_render_config(args, backbone=args.backbone)
+    # scale N_rand by source-view count as the reference does (train.py:113)
+    n_rand = int(1.0 * args.N_rand * args.num_source_views
+                 / max(sample["src_rgbs"].shape[0], 1))
+    cfg = TrainConfig(
+        h=h, w=w, n_rand=n_rand,
+        sample_mode=args.sample_mode, center_ratio=args.center_ratio,
+        lrate_feature=args.lrate_feature, lrate_mlp=args.lrate_mlp,
+        lrate_decay_factor=args.lrate_decay_factor,
+        lrate_decay_steps=args.lrate_decay_steps,
+        depth_var_loss=args.depth_var_loss,
+        use_adv_train=args.use_adv_train, adv_iters=args.adv_iters,
+        epsilon=float(args.epsilon), adv_lr=args.adv_lr,
+    )
+    out_dir = os.path.join(args.out_dir, args.expname)
+    trainer = Trainer(bundle, render_cfg, cfg, out_dir=out_dir)
+    if not args.no_reload:
+        start = trainer.load_latest(load_opt=not args.no_load_opt)
+        print(f"resuming from step {start}")
+
+    loader = Loader(dataset, shuffle=True, seed=777, num_workers=args.workers,
+                    infinite=True)
+    trainer.train(
+        iter(loader), args.n_iters, key=jax.random.PRNGKey(args.local_rank),
+        i_print=args.i_print, i_weights=args.i_weights,
+    )
+    trainer.save(trainer.start_step + args.n_iters)
+
+
+if __name__ == "__main__":
+    main()
