@@ -69,9 +69,11 @@ def main():
     src_rgbs = rng.rand(N_SRC, H, W, 3).astype(np.float32)
     depth_range = np.array([[2.0, 6.0]], dtype=np.float32)
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
     bundle = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(0))
     cfg = RenderConfig(n_samples=N_SAMPLES, n_importance=N_IMPORTANCE, det=True,
-                       inv_uniform=True, backbone="ibrnet")
+                       inv_uniform=True, backbone="ibrnet", compute_dtype=DTYPE)
 
     src_rgbs_j = jnp.asarray(src_rgbs)
     src_cams_j = jnp.asarray(src_cams)
@@ -121,7 +123,9 @@ def main():
     rays_per_sec = n_rays / render_s
     log(f"clean render: {n_rays} rays in {render_s:.3f}s -> {rays_per_sec:,.0f} rays/s")
 
-    # ---- attack step benchmark
+    # ---- attack step benchmark (f32 render config: the parity path)
+    attack_render_cfg = RenderConfig(n_samples=N_SAMPLES, n_importance=N_IMPORTANCE,
+                                     det=True, inv_uniform=True, backbone="ibrnet")
     acfg = AttackConfig(h=H, w=W, n_rand=N_RAND, use_adam=True, adam_lr=1e-3,
                         epsilon=8.0)
     target = {
@@ -131,7 +135,7 @@ def main():
         "depth_range": jnp.asarray(depth_range),
     }
     src = {"rgbs": src_rgbs_j, "cameras": src_cams_j, "featmaps_clean": None}
-    step = jax.jit(make_attack_step(bundle, cfg, acfg))
+    step = jax.jit(make_attack_step(bundle, attack_render_cfg, acfg))
     state = init_attack_state(jax.random.PRNGKey(1), acfg, src_rgbs_j)
     t0 = time.perf_counter()
     state, aux = step(state, target, src, jax.random.PRNGKey(2))

@@ -71,10 +71,10 @@ def grid_sample_bilinear_batched(images, grid):
     :param grid: [V, ..., 2] normalized coords, align_corners=True, zeros padding
     :return: [V, ..., C]
     """
+    images = jnp.asarray(images)
     v, h, w, c = images.shape
     out_shape = grid.shape[:-1]
     flat = images.reshape(v * h * w, c)
-    p = int(np.prod(out_shape[1:])) if grid.ndim > 2 else grid.shape[1]
 
     gx = grid[..., 0].reshape(v, -1)
     gy = grid[..., 1].reshape(v, -1)

@@ -41,6 +41,9 @@ class RenderConfig:
     # hybrid rendering (density/color vulnerability analysis)
     use_clean_color: bool = False
     use_clean_density: bool = False
+    # aggregation compute dtype: 'bfloat16' halves gather + MLP HBM traffic
+    # (geometry/projection/compositing stay f32); keep f32 for parity runs
+    compute_dtype: str = "float32"
 
 
 def make_shade_fn(model, cfg: RenderConfig) -> Callable:
@@ -66,6 +69,10 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
 def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
                       featmap, level, ray_d):
     """Project points into source views and run the aggregator."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    if dt != jnp.float32:
+        featmap = featmap.astype(dt)
+        src_rgbs = src_rgbs.astype(dt)
     rgb_feat, ray_diff, mask = epipolar_gather(
         pts,
         ray_batch["camera"].reshape(-1)[:34],
@@ -74,9 +81,16 @@ def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
         featmap,
         stop_camera_grad=cfg.stop_camera_grad,
     )
+    if dt != jnp.float32:
+        rgb_feat = rgb_feat.astype(dt)
+        ray_diff = ray_diff.astype(dt)
+        mask = mask.astype(dt)
+        params = jax.tree.map(lambda p: p.astype(dt), params)
     shade = make_shade_fn(model, cfg)
     net_key = "net_coarse" if (level == "coarse" or cfg.single_net) else "net_fine"
-    raw = shade(params[net_key], model[net_key], rgb_feat, ray_diff, mask, pts, ray_d)
+    raw = shade(params[net_key], model[net_key], rgb_feat, ray_diff, mask,
+                pts.astype(dt), ray_d.astype(dt))
+    raw = raw.astype(jnp.float32)
     pixel_mask = jnp.sum(mask[..., 0], axis=0) > 1  # >= 2 observations (views-first)
     return raw, pixel_mask
 
