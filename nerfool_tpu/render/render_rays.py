@@ -44,6 +44,10 @@ class RenderConfig:
     # aggregation compute dtype: 'bfloat16' halves gather + MLP HBM traffic
     # (geometry/projection/compositing stay f32); keep f32 for parity runs
     compute_dtype: str = "float32"
+    # fused Pallas aggregation kernel (ibrnet, forward/rendering path only —
+    # the attack backward keeps the XLA implementation)
+    use_pallas: bool = False
+    pallas_ray_block: int = 16
 
 
 def make_shade_fn(model, cfg: RenderConfig) -> Callable:
@@ -52,6 +56,17 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
     ``model`` holds the flax Modules: {'net_coarse': Module, 'net_fine': Module|None}.
     """
     if cfg.backbone == "ibrnet":
+        if cfg.use_pallas:
+            from nerfool_tpu.ops.ibrnet_kernel import ibrnet_aggregate_pallas
+
+            def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
+                return ibrnet_aggregate_pallas(
+                    agg_params, rgb_feat, ray_diff, mask,
+                    anti_alias_pooling=agg_module.anti_alias_pooling,
+                    ray_block=min(cfg.pallas_ray_block, rgb_feat.shape[1]),
+                )
+
+            return shade
 
         def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
             return agg_module.apply({"params": agg_params}, rgb_feat, ray_diff, mask)
