@@ -142,10 +142,9 @@ def main():
     log(f"attack step compile+first run: {time.perf_counter()-t0:.2f}s "
         f"loss={float(aux['loss']):.4f}")
     t0 = time.perf_counter()
-    key = jax.random.PRNGKey(3)
+    keys = jax.random.split(jax.random.PRNGKey(3), ATTACK_ITERS)
     for i in range(ATTACK_ITERS):
-        key, k = jax.random.split(key)
-        state, aux = step(state, target, src, k)
+        state, aux = step(state, target, src, keys[i])
     force(state["delta"])
     attack_s = (time.perf_counter() - t0) / ATTACK_ITERS
     attack_ips = 1.0 / attack_s

@@ -154,8 +154,11 @@ class AdvEvaluator:
         step = self._attack_step_fn(cfg)
         state = init_attack_state(self._split(), cfg, src["rgbs"])
         t0 = time.perf_counter()
+        # pre-split iteration keys: a per-iteration host-side split is a tiny
+        # device op that serializes the pipeline (~2s/iter on relay-backed TPUs)
+        keys = self.jax.random.split(self._split(), self.args.adv_iters)
         for it in range(self.args.adv_iters):
-            state, aux = step(state, target, src, self._split())
+            state, aux = step(state, target, src, keys[it])
             if verbose and (it + 1) % max(1, self.args.adv_iters // 10) == 0:
                 print(f"  attack iter {it+1}/{self.args.adv_iters} "
                       f"loss={float(aux['loss']):.5f} "
@@ -191,6 +194,7 @@ class AdvEvaluator:
 
         t0 = time.perf_counter()
         data = first
+        keys = self.jax.random.split(self._split(), args.adv_iters)
         for i in range(args.adv_iters):
             if args.use_unseen_views:
                 pose = sample_unseen_pose(
@@ -206,7 +210,7 @@ class AdvEvaluator:
                 cam[18:34] = pose.reshape(-1)[:16]
                 data = dict(data, camera=cam)
             target, _ = self._make_target(data)
-            state, aux = step(state, target, src, self._split())
+            state, aux = step(state, target, src, keys[i])
             if verbose and (i + 1) % max(1, args.adv_iters // 10) == 0:
                 print(f"  universal iter {i+1}/{args.adv_iters} "
                       f"loss={float(aux['loss']):.5f} "
@@ -257,9 +261,10 @@ class AdvEvaluator:
         init_state, step = make_purify_step(self.bundle, self.render_cfg, cfg)
         step = self.jax.jit(step)
         state = init_state(self._split(), src["rgbs"], delta)
-        for _ in range(args.purif_iters):
+        keys = self.jax.random.split(self._split(), args.purif_iters)
+        for i in range(args.purif_iters):
             target, _ = self._make_target(next(it))
-            state, _ = step(state, target, src, delta, self._split())
+            state, _ = step(state, target, src, delta, keys[i])
         return delta + state["purif"]
 
     # ---------- evaluation ----------

@@ -203,6 +203,7 @@ class Trainer:
     def train(self, data_iter, n_iters, key=None, i_print=100, i_weights=10000,
               log_fn=print):
         key = key if key is not None else jax.random.PRNGKey(0)
+        keys = jax.random.split(key, n_iters)
         t0 = time.perf_counter()
         for i in range(self.start_step, self.start_step + n_iters):
             data = next(data_iter)
@@ -217,9 +218,8 @@ class Trainer:
                     np.asarray(data["src_cameras"]).reshape(-1, 34)
                 ),
             }
-            key, k = jax.random.split(key)
             self.params, self.opt_state, aux = self.step_jit(
-                self.params, self.opt_state, batch, k
+                self.params, self.opt_state, batch, keys[i - self.start_step]
             )
             if (i + 1) % i_print == 0:
                 dt = (time.perf_counter() - t0) / (i + 1 - self.start_step)
