@@ -53,6 +53,7 @@ class AttackConfig:
     depth_diff_loss: float = 0.0
     depth_smooth_loss: float = 0.0
     depth_consistency_loss: float = 0.0  # Sin-NeRF-style src->tar depth warp
+    ds_rgb: bool = False  # depth-consistency at half (native depth) resolution
     camera_consistency_loss: float = 0.0  # bidirectional rgb/depth warps
     cam_src2tar: float = 0.0
     cam_tar2src: float = 0.0
@@ -268,27 +269,61 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
 
         if cfg.depth_consistency_loss > 0:
             # warp one random source view's GT depth into the target and pull
-            # the rendered depth toward it (eval_adv.py:350-436, non-ds_rgb path:
-            # depths are pre-upsampled to rgb resolution by the data pipeline)
+            # the rendered depth toward it (eval_adv.py:350-436). Without
+            # ds_rgb, depths are pre-upsampled to rgb resolution by the data
+            # pipeline and the main render's rays are reused; with ds_rgb a
+            # second render runs at half (native depth) resolution.
             from nerfool_tpu.attack.warp import forward_warp
 
             k_src = jax.random.fold_in(key, 17)
             src_id = jax.random.randint(k_src, (), 0, src_cams.shape[0])
             src_cam = src_cams[src_id]
             tar_cam = target["camera"]
+
+            if cfg.ds_rgb:
+                # half-res target camera: hw and intrinsics scaled by 0.5
+                hh, ww = cfg.h // 2, cfg.w // 2
+                intr = tar_cam[2:18].reshape(4, 4)
+                intr = intr.at[:2, :3].multiply(0.5)
+                tar_hw = jnp.concatenate(
+                    [jnp.array([hh, ww], tar_cam.dtype), intr.reshape(-1),
+                     tar_cam[18:34]]
+                )
+                k_sel2 = jax.random.fold_in(key, 19)
+                scores = jax.random.uniform(k_sel2, (hh * ww,))
+                _, sel_c = jax.lax.top_k(scores, cfg.n_rand)
+                t2 = dict(target, camera=tar_hw)
+                # half-res render with the same perturbed features
+                intr_full = tar_hw[2:18].reshape(4, 4)
+                c2w = tar_hw[18:34].reshape(4, 4)
+                rays_o, rays_d = get_rays(hh, ww, intr_full, c2w)
+                rb = {
+                    "ray_o": rays_o[sel_c], "ray_d": rays_d[sel_c],
+                    "depth_range": target["depth_range"], "camera": tar_hw[None],
+                }
+                ret_cons = render_rays(
+                    params, modules, rb, feats, render_cfg,
+                    src_rgbs=src_rgbs, src_cameras=src_cams, key=key,
+                )
+                sel_used, tar_cam_used = sel_c, tar_hw
+            else:
+                ret_cons, sel_used, tar_cam_used = ret, sel, tar_cam
+
             _, _, rgb_proj, depth_proj = forward_warp(
-                sel,
-                src_rgbs[src_id],
+                sel_used,
+                src_rgbs[src_id][: src["depths"].shape[1], : src["depths"].shape[2]],
                 src["depths"][src_id],
-                src_cam[2:18].reshape(4, 4)[:3, :3],
+                src_cam[2:18].reshape(4, 4)[:3, :3] * (0.5 if cfg.ds_rgb else 1.0)
+                + (jnp.diag(jnp.array([0.0, 0.0, 0.5])) if cfg.ds_rgb else 0.0),
                 src_cam[18:34].reshape(4, 4),
-                tar_cam[2:18].reshape(4, 4)[:3, :3],
-                tar_cam[18:34].reshape(4, 4),
+                tar_cam_used[2:18].reshape(4, 4)[:3, :3],
+                tar_cam_used[18:34].reshape(4, 4),
                 src2tar=True,
             )
-            dc = L.smooth_l1(ret["outputs_coarse"]["depth"], depth_proj, depth_proj > 0)
-            if ret["outputs_fine"] is not None:
-                dc = dc + L.smooth_l1(ret["outputs_fine"]["depth"], depth_proj,
+            dc = L.smooth_l1(ret_cons["outputs_coarse"]["depth"], depth_proj,
+                             depth_proj > 0)
+            if ret_cons["outputs_fine"] is not None:
+                dc = dc + L.smooth_l1(ret_cons["outputs_fine"]["depth"], depth_proj,
                                       depth_proj > 0)
             terms["depth_cons"] = cfg.depth_consistency_loss * dc
 

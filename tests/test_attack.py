@@ -295,3 +295,19 @@ def test_purification_descends(rng):
     base = np.asarray(src["rgbs"] + delta)
     assert np.all(base + purif >= -1e-6) and np.all(base + purif <= 1 + 1e-6)
     assert np.mean(losses[3:]) < np.mean(losses[:3])  # defense descends
+
+
+def test_ds_rgb_depth_consistency_runs(rng):
+    """ds_rgb variant: depth consistency rendered at half resolution."""
+    import dataclasses
+    bundle, render_cfg, cfg0, target, src = _attack_setup(rng)
+    cfg = dataclasses.replace(cfg0, depth_consistency_loss=0.5, ds_rgb=True,
+                              use_adam=True, adam_lr=1e-2)
+    v = src["rgbs"].shape[0]
+    # native (half-res) depths
+    src = dict(src, depths=jnp.asarray(
+        (np.random.RandomState(0).rand(v, H // 2, W // 2) * 2 + 3).astype(np.float32)))
+    step = jax.jit(make_attack_step(bundle, render_cfg, cfg))
+    state = init_attack_state(jax.random.PRNGKey(1), cfg, src["rgbs"])
+    state, aux = step(state, target, src, jax.random.PRNGKey(7))
+    assert np.isfinite(float(aux["loss"])) and "depth_cons" in aux
