@@ -1,0 +1,61 @@
+"""Multi-device semantics: a ray-sharded attack step must produce the same
+delta update as the single-device step (GSPMD psums the per-shard gradient,
+standing in for the reference's DDP all-reduce)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from helpers import synthetic_scene
+
+from nerfool_tpu.attack.attack import (
+    AttackConfig,
+    init_attack_state,
+    make_attack_step,
+)
+from nerfool_tpu.models.bundle import create_model
+from nerfool_tpu.parallel.mesh import get_mesh, replicate, shard_rays
+from nerfool_tpu.render.render_rays import RenderConfig
+
+H, W = 24, 32
+
+
+def test_sharded_attack_step_matches_single_device(rng):
+    assert len(jax.devices()) == 8
+    target_cam, src_rgbs, src_cams, _, depth_range = synthetic_scene(
+        rng, n_src=3, h=H, w=W
+    )
+    bundle = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(11))
+    render_cfg = RenderConfig(n_samples=12, det=True, backbone="ibrnet")
+    cfg = AttackConfig(h=H, w=W, n_rand=64, use_adam=True, adam_lr=1e-2)
+    target = {
+        "camera": jnp.asarray(target_cam),
+        "rgb": jnp.asarray(rng.rand(H * W, 3).astype(np.float32)),
+        "depth": None,
+        "depth_range": jnp.asarray(depth_range),
+    }
+    src = {
+        "rgbs": jnp.asarray(src_rgbs),
+        "cameras": jnp.asarray(src_cams),
+        "featmaps_clean": None,
+    }
+    state0 = init_attack_state(jax.random.PRNGKey(1), cfg, src["rgbs"])
+    key = jax.random.PRNGKey(2)
+
+    ref_step = jax.jit(make_attack_step(bundle, render_cfg, cfg))
+    ref_state, ref_aux = ref_step(state0, target, src, key)
+
+    mesh = get_mesh()
+    rs = shard_rays(mesh)
+    rep = replicate(mesh)
+    sh_step = jax.jit(make_attack_step(bundle, render_cfg, cfg, ray_sharding=rs))
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
+    with mesh:
+        sh_state, sh_aux = sh_step(put(state0), put(target), put(src), key)
+
+    np.testing.assert_allclose(
+        float(sh_aux["loss"]), float(ref_aux["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state["delta"]), np.asarray(ref_state["delta"]),
+        rtol=1e-4, atol=1e-6,
+    )
