@@ -10,6 +10,8 @@ memory).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -55,20 +57,74 @@ def render_rays_blocked(
     return jax.tree.map(unblock, out, is_leaf=lambda v: v is None)
 
 
+@functools.lru_cache(maxsize=None)
+def _blocked_fn(model_items, cfg, block_size):
+    model = dict(model_items)
+
+    def fn(params, ray_batch, featmaps, src_rgbs, src_cameras, key, featmaps_clean):
+        return render_rays_blocked(
+            params, model, ray_batch, featmaps, cfg, src_rgbs, src_cameras,
+            block_size=block_size, key=key, featmaps_clean=featmaps_clean,
+        )
+
+    return jax.jit(fn)
+
+
+def _render_blocked_jit(params, model, ray_batch, featmaps, cfg, src_rgbs,
+                        src_cameras, block_size, key, featmaps_clean):
+    # flax Modules are frozen/hashable: cache one compiled fn per (model, cfg)
+    fn = _blocked_fn(tuple(sorted(model.items(), key=lambda kv: kv[0])), cfg,
+                     block_size)
+    return fn(params, ray_batch, featmaps, src_rgbs, src_cameras, key,
+              featmaps_clean)
+
+
 def render_single_image(
     params, model, ray_batch, featmaps, cfg: RenderConfig,
     h: int, w: int, src_rgbs, src_cameras,
     chunk_size: int = 4096, render_stride: int = 1, key=None, featmaps_clean=None,
+    max_rays_per_call: int = 262144,
 ):
     """Render a full frame and reshape outputs to (H', W', C).
+
+    Frames bigger than ``max_rays_per_call`` run as several equally-shaped
+    device executions (one compiled program, reused): keeps single-execution
+    wall-time bounded, which some TPU runtimes require, and yields natural
+    host-side progress points.
 
     Returns the reference's output contract: rgb painted white where the
     validity mask is empty (render_image.py:113).
     """
-    out = render_rays_blocked(
-        params, model, ray_batch, featmaps, cfg, src_rgbs, src_cameras,
-        block_size=chunk_size, key=key, featmaps_clean=featmaps_clean,
-    )
+    n = ray_batch["ray_o"].shape[0]
+    seg = max(chunk_size, (max_rays_per_call // chunk_size) * chunk_size)
+    if n > seg:
+        n_segs = -(-n // seg)
+        outs = []
+        for i in range(n_segs):
+            sub = dict(ray_batch)
+            sl = slice(i * seg, min((i + 1) * seg, n))
+            sub["ray_o"] = ray_batch["ray_o"][sl]
+            sub["ray_d"] = ray_batch["ray_d"][sl]
+            if sub["ray_o"].shape[0] < seg:  # pad to keep one compiled shape
+                pad = seg - sub["ray_o"].shape[0]
+                sub["ray_o"] = jnp.pad(sub["ray_o"], ((0, pad), (0, 0)), mode="edge")
+                sub["ray_d"] = jnp.pad(sub["ray_d"], ((0, pad), (0, 0)), mode="edge")
+            outs.append(_render_blocked_jit(
+                params, model, sub, featmaps, cfg, src_rgbs, src_cameras,
+                chunk_size, key, featmaps_clean,
+            ))
+
+        def cat(*xs):
+            if xs[0] is None:
+                return None
+            return jnp.concatenate(xs, axis=0)[:n]
+
+        out = jax.tree.map(cat, *outs, is_leaf=lambda v: v is None)
+    else:
+        out = _render_blocked_jit(
+            params, model, ray_batch, featmaps, cfg, src_rgbs, src_cameras,
+            chunk_size, key, featmaps_clean,
+        )
     hs = len(range(0, h, render_stride))
     ws = len(range(0, w, render_stride))
 
