@@ -42,7 +42,6 @@ def main():
         AttackConfig, init_attack_state, make_attack_step,
     )
     from nerfool_tpu.models.bundle import create_model
-    from nerfool_tpu.render.render_image import render_rays_blocked
     from nerfool_tpu.render.render_rays import RenderConfig
     from nerfool_tpu.utils.cameras import get_rays, make_camera_vector
 
@@ -96,11 +95,24 @@ def main():
         "camera": jnp.asarray(target_cam[None]),
     }
 
-    render = jax.jit(
-        lambda p, b, sr, sc, f: render_rays_blocked(
-            p, bundle.modules, b, f, cfg, sr, sc, block_size=CHUNK
-        )["outputs_fine"]["rgb"]
-    )
+    from nerfool_tpu.render.render_image import _render_blocked_jit
+
+    max_seg = int(os.environ.get("BENCH_MAX_SEG", 131072))
+
+    def render(p, b, sr, sc, f):
+        n = b["ray_o"].shape[0]
+        seg = max(CHUNK, (max_seg // CHUNK) * CHUNK)
+        outs = []
+        for i in range(0, n, seg):
+            sub = dict(b)
+            sub["ray_o"] = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(b["ray_o"], ((0, (-n) % seg), (0, 0)), mode="edge"), i, seg)
+            sub["ray_d"] = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(b["ray_d"], ((0, (-n) % seg), (0, 0)), mode="edge"), i, seg)
+            outs.append(_render_blocked_jit(
+                p, bundle.modules, sub, f, cfg, sr, sc, CHUNK, None, None
+            )["outputs_fine"]["rgb"])
+        return jnp.concatenate(outs, axis=0)[:n]
     def force(x):
         # on the axon relay platform block_until_ready does not wait for remote
         # execution; fetching a device-reduced scalar does

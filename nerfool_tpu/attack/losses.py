@@ -23,8 +23,12 @@ def masked_mse(pred, gt, mask=None):
 
 
 def rgb_criterion(outputs, gt_rgb):
-    """The reference Criterion: masked MSE with the renderer's validity mask."""
-    return masked_mse(outputs["rgb"], gt_rgb, outputs["mask"].astype(outputs["rgb"].dtype))
+    """The reference Criterion: masked MSE with the renderer's validity mask
+    when present (ibrnet), plain mean otherwise (gnt, gnt/criterion.py:9-22)."""
+    mask = outputs.get("mask")
+    if mask is None:
+        return masked_mse(outputs["rgb"], gt_rgb)
+    return masked_mse(outputs["rgb"], gt_rgb, mask.astype(outputs["rgb"].dtype))
 
 
 def smooth_l1(pred, gt, mask):

@@ -92,8 +92,13 @@ class ResUNet(nn.Module):
         """:param x: [V, H, W, 3] source images
         :return: (coarse [V, H/4, W/4, Cc], fine [V, H/4, W/4, Cf] or None)
         """
-        fine_ch = 0 if self.coarse_only else self.fine_out_ch
-        out_ch = self.coarse_out_ch + fine_ch
+        if self.single_net:
+            # GNT variant: ONE head of coarse_out_ch channels shared by both
+            # levels (gnt/feature_network.py:196-204)
+            out_ch = self.coarse_out_ch
+        else:
+            fine_ch = 0 if self.coarse_only else self.fine_out_ch
+            out_ch = self.coarse_out_ch + fine_ch
 
         x = ConvReflect(64, 7, 2, padding=3, name="conv1")(x)
         x = InstanceNorm(name="bn1")(x)

@@ -167,8 +167,10 @@ def render_rays(
             depth = jnp.sum(weights * z_vals, axis=-1)
         else:
             rgb, weights, depth = raw, None, None
-        return {"rgb": rgb, "weights": weights, "depth": depth,
-                "mask": jnp.sum(pixel_mask.astype(jnp.float32), axis=1) > 8}
+        # NOTE: no validity mask — the GNT stack's outputs carry none, so its
+        # criterion falls back to a plain mean (gnt/criterion.py:9-22) and its
+        # whole-image render does no white painting
+        return {"rgb": rgb, "weights": weights, "depth": depth}
 
     outputs_coarse = run_level(
         pts, z_vals, "coarse",

@@ -94,19 +94,21 @@ def test_pgd_attack_ascends_and_stays_in_ball(rng):
 
 def test_adam_attack_scan(rng):
     bundle, render_cfg, cfg, target, src = _attack_setup(
-        rng, use_adam=True, adam_lr=1e-2, lr_step_size=4, lr_gamma=0.5
+        rng, use_adam=True, adam_lr=3e-2, lr_step_size=100, lr_gamma=1.0
     )
     step = make_attack_step(bundle, render_cfg, cfg)
-    state = init_attack_state(jax.random.PRNGKey(1), cfg, src["rgbs"])
+    state0 = init_attack_state(jax.random.PRNGKey(1), cfg, src["rgbs"])
     state, aux = jax.jit(
-        lambda s, k: run_attack_scan(step, s, target, src, k, 8)
-    )(state, jax.random.PRNGKey(3))
-    assert aux["loss"].shape == (8,)
-    # per-iteration losses are noisy (fresh random ray subsets); compare halves
-    first = float(jnp.mean(aux["loss"][:4]))
-    second = float(jnp.mean(aux["loss"][4:]))
-    assert second > first
-    assert int(state["step"]) == 8
+        lambda s, k: run_attack_scan(step, s, target, src, k, 12)
+    )(state0, jax.random.PRNGKey(3))
+    assert aux["loss"].shape == (12,)
+    assert int(state["step"]) == 12
+    # deterministic progress check: the same fixed-key step evaluated at the
+    # initial vs final state (per-iteration losses are noisy ray subsets)
+    k_eval = jax.random.PRNGKey(99)
+    _, aux_before = jax.jit(step)(state0, target, src, k_eval)
+    _, aux_after = jax.jit(step)(state, target, src, k_eval)
+    assert float(aux_after["loss"]) > float(aux_before["loss"])
 
 
 def test_camera_perturbation_bounds(rng):

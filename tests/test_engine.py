@@ -103,3 +103,15 @@ def test_attack_moves_render_more_than_random_delta(tmp_path, small_kwargs):
     dev_adv = float(np.mean((img_adv - img_clean) ** 2))
     dev_rand = float(np.mean((img_rand - img_clean) ** 2))
     assert dev_adv > dev_rand, (dev_adv, dev_rand)
+
+
+def test_gnt_view_specific_end_to_end(tmp_path, small_kwargs):
+    from nerfool_tpu.attack.engine import AdvEvaluator
+
+    args = _engine_args(tmp_path, view_specific=True, backbone="gnt",
+                        trans_depth="2", ret_alpha=True)
+    args.N_importance = 0
+    ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+    results = ev.evaluate(out_dir=None, save_images=False, verbose=False,
+                          max_views=1)
+    assert np.isfinite(results[args.eval_dataset]["coarse_mean_psnr"])
