@@ -104,3 +104,41 @@ def grid_sample_bilinear_batched(images, grid):
         + corner(x1, y1, wx1 * wy1)
     )
     return out.reshape((v,) + out_shape[1:] + (c,))
+
+
+def gather_bilinear_planes(images, gx, gy):
+    """Bilinear sampling from component-plane coordinates.
+
+    Same semantics as :func:`grid_sample_bilinear_batched` but takes the
+    normalized x/y coordinates as separate [V, P] planes (full-lane tiles; no
+    [V, P, 2] intermediate) and returns [V, P, C].
+    """
+    images = jnp.asarray(images)
+    v, h, w, c = images.shape
+    flat = images.reshape(v * h * w, c)
+    ix = (gx + 1.0) * 0.5 * (w - 1)
+    iy = (gy + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx1 = ix - x0
+    wx0 = 1.0 - wx1
+    wy1 = iy - y0
+    wy0 = 1.0 - wy1
+    base = (jnp.arange(v, dtype=jnp.int32) * (h * w))[:, None]
+
+    def corner(xf, yf, wgt):
+        valid = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
+        xi = jnp.clip(xf.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(yf.astype(jnp.int32), 0, h - 1)
+        rows = flat[(base + yi * w + xi).reshape(-1)]  # [V*P, C]
+        return rows * (wgt * valid.astype(images.dtype)).reshape(-1, 1)
+
+    out = (
+        corner(x0, y0, wx0 * wy0)
+        + corner(x1, y0, wx1 * wy0)
+        + corner(x0, y1, wx0 * wy1)
+        + corner(x1, y1, wx1 * wy1)
+    )
+    return out.reshape(v, -1, c)

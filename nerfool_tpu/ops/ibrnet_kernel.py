@@ -113,22 +113,24 @@ def _kernel(rgb_feat_ref, ray_diff_ref, mask_ref, pos_enc_ref, *refs,
     num_valid = jnp.sum(mask, axis=0)  # [R, S, 1]
     gfeat = gfeat + pos_enc_ref[:]  # [S,16] broadcast over R
 
-    # 4-head self-attention along the sample axis (d_model 16, d_k = d_v = 4)
-    def heads(x2, w):  # [R,S,16] @ [16,16] -> [R,4,S,4]
+    # 4-head self-attention along the sample axis (d_model 16, d_k = d_v = 4);
+    # ray and head batch dims merged — Mosaic matmuls support one batch dim
+    def heads(x2, w):  # [R,S,16] @ [16,16] -> [R*4, S, 4]
         y = dense(x2, w, jnp.zeros((w.shape[-1],), x2.dtype))
-        return y.reshape(r, s, 4, 4).transpose(0, 2, 1, 3)
+        return y.reshape(r, s, 4, 4).transpose(0, 2, 1, 3).reshape(r * 4, s, 4)
 
     q = heads(gfeat, wq)
     k = heads(gfeat, wk)
     vv = heads(gfeat, wv)
-    attn = jnp.einsum("rhqd,rhkd->rhqk", q / 2.0, k,
-                      preferred_element_type=jnp.float32)
+    attn = jnp.einsum("bqd,bkd->bqk", q / 2.0, k,
+                      preferred_element_type=jnp.float32)  # [R*4, S, S]
     attn_mask = (num_valid > 1).astype(gfeat.dtype)  # [R,S,1]
-    attn = jnp.where(attn_mask[:, None] == 0, -1e9, attn)
+    am = jnp.broadcast_to(attn_mask[:, None, :, 0], (r, 4, s)).reshape(r * 4, s)
+    attn = jnp.where(am[..., None] == 0, -1e9, attn)  # mask query rows
     attn = jax.nn.softmax(attn, axis=-1)
-    av = jnp.einsum("rhqk,rhkd->rhqd", attn, vv,
+    av = jnp.einsum("bqk,bkd->bqd", attn, vv,
                     preferred_element_type=jnp.float32)
-    av = av.transpose(0, 2, 1, 3).reshape(r, s, 16)
+    av = av.reshape(r, 4, s, 4).transpose(0, 2, 1, 3).reshape(r, s, 16)
     av = dense(av, wo, jnp.zeros((16,), av.dtype)) + gfeat
     m = jnp.mean(av, axis=-1, keepdims=True)
     var_ln = jnp.mean((av - m) ** 2, axis=-1, keepdims=True)

@@ -3,81 +3,110 @@
 Functional equivalent of the reference projector
 (/root/reference/ibrnet/projection.py:20-132): project 3D sample points through
 every source camera, bilinearly gather RGB and feature-map values, compute the
-ray-direction difference features and the validity mask. Laid out so the heavy
-gathers batch over views via vmap and fuse under jit.
+ray-direction difference features and the validity mask.
 
-A note on gradient flow: the IBRNet stack detaches source cameras before
-projecting (projection.py:104) while the GNT stack does not (so camera-pose
-attack gradients flow). This is exposed as ``stop_camera_grad``.
+TPU layout notes: every intermediate lives as component-wise [V, P] planes
+(full-lane tiles) rather than [V, P, 3/4] tensors whose tiny minor dim would
+waste ~40x of each VPU pass; vectors are stacked exactly once at the output
+boundary. Outputs are views-first [V, R, S, C].
+
+Gradient flow: the IBRNet stack detaches source cameras before projecting
+(projection.py:104) while the GNT stack does not (camera-pose attack gradients
+flow). Exposed as ``stop_camera_grad``.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from nerfool_tpu.ops.grid_sample import grid_sample_bilinear_batched
+from nerfool_tpu.ops.grid_sample import gather_bilinear_planes
 
 TINY = 1e-6
 
 
-def project_points(xyz, src_cameras):
-    """Project points into each source camera.
-
-    :param xyz: [..., 3] points in world space
-    :param src_cameras: [V, 34]
-    :return: (pixel_locations [V, ..., 2], in_front_mask [V, ...])
-    """
-    shape = xyz.shape[:-1]
-    pts = xyz.reshape(-1, 3)
-    intr = src_cameras[:, 2:18].reshape(-1, 4, 4)  # [V,4,4]
+def _camera_mats(src_cameras):
+    intr = src_cameras[:, 2:18].reshape(-1, 4, 4)
     c2w = src_cameras[:, 18:34].reshape(-1, 4, 4)
     w2c = jnp.linalg.inv(c2w)
-    pts_h = jnp.concatenate([pts, jnp.ones_like(pts[:, :1])], axis=-1)  # [P,4]
-    proj = jnp.einsum(
-        "vij,vjk,pk->vpi", intr, w2c, pts_h, precision=jax.lax.Precision.HIGHEST
-    )  # [V,P,4]
-    pix = proj[..., :2] / jnp.clip(proj[..., 2:3], 1e-8, None)
-    pix = jnp.clip(pix, -1e6, 1e6)
-    in_front = proj[..., 2] > 0
+    proj = jnp.matmul(intr, w2c, precision=jax.lax.Precision.HIGHEST)  # [V,4,4]
+    return proj, c2w
+
+
+def project_points_planes(xyz_flat, src_cameras):
+    """Project [P,3] points into each source camera, component-wise.
+
+    :return: (pix_x [V,P], pix_y [V,P], in_front [V,P])
+    """
+    proj, _ = _camera_mats(src_cameras)
+    x, y, z = xyz_flat[:, 0], xyz_flat[:, 1], xyz_flat[:, 2]
+
+    def row(i):
+        return (proj[:, i, 0, None] * x + proj[:, i, 1, None] * y
+                + proj[:, i, 2, None] * z + proj[:, i, 3, None])
+
+    px, py, pz = row(0), row(1), row(2)
+    denom = jnp.clip(pz, 1e-8, None)
+    pix_x = jnp.clip(px / denom, -1e6, 1e6)
+    pix_y = jnp.clip(py / denom, -1e6, 1e6)
+    return pix_x, pix_y, pz > 0
+
+
+def project_points(xyz, src_cameras):
+    """Compatibility wrapper: (pixel_locations [V, ..., 2], in_front [V, ...])."""
+    shape = xyz.shape[:-1]
+    px, py, front = project_points_planes(xyz.reshape(-1, 3), src_cameras)
     v = src_cameras.shape[0]
-    return pix.reshape((v,) + shape + (2,)), in_front.reshape((v,) + shape)
+    pix = jnp.stack([px, py], axis=-1).reshape((v,) + shape + (2,))
+    return pix, front.reshape((v,) + shape)
+
+
+def compute_angle_planes(xyz_flat, query_camera, src_cameras):
+    """Ray-direction difference features, component-wise.
+
+    :return: (dx, dy, dz, dot) each [V, P]
+    """
+    src_c2w = src_cameras[:, 18:34].reshape(-1, 4, 4)
+    q_c2w = query_camera[18:34].reshape(4, 4)
+    x, y, z = xyz_flat[:, 0], xyz_flat[:, 1], xyz_flat[:, 2]
+
+    # unit vector point -> query camera ([P] planes, view-independent)
+    tx = q_c2w[0, 3] - x
+    ty = q_c2w[1, 3] - y
+    tz = q_c2w[2, 3] - z
+    tn = jnp.sqrt(tx * tx + ty * ty + tz * tz) + TINY
+    tx, ty, tz = tx / tn, ty / tn, tz / tn
+
+    # unit vector point -> each source camera ([V, P] planes)
+    sx = src_c2w[:, 0, 3, None] - x
+    sy = src_c2w[:, 1, 3, None] - y
+    sz = src_c2w[:, 2, 3, None] - z
+    sn = jnp.sqrt(sx * sx + sy * sy + sz * sz) + TINY
+    sx, sy, sz = sx / sn, sy / sn, sz / sn
+
+    dx = tx - sx
+    dy = ty - sy
+    dz = tz - sz
+    dn = jnp.clip(jnp.sqrt(dx * dx + dy * dy + dz * dz), TINY, None)
+    dot = tx * sx + ty * sy + tz * sz
+    return dx / dn, dy / dn, dz / dn, dot
 
 
 def compute_angles(xyz, query_camera, src_cameras):
-    """Ray-direction difference features.
-
-    :param xyz: [..., 3]
-    :param query_camera: [34]
-    :param src_cameras: [V, 34]
-    :return: [V, ..., 4] = (unit diff direction (3), dot product (1))
-    """
+    """Compatibility wrapper: [V, ..., 4] = (unit diff direction, dot)."""
     shape = xyz.shape[:-1]
-    pts = xyz.reshape(-1, 3)
-    src_c2w = src_cameras[:, 18:34].reshape(-1, 4, 4)
-    q_c2w = query_camera[18:34].reshape(4, 4)
-    v = src_c2w.shape[0]
+    dx, dy, dz, dot = compute_angle_planes(xyz.reshape(-1, 3), query_camera,
+                                           src_cameras)
+    v = src_cameras.shape[0]
+    return jnp.stack([dx, dy, dz, dot], axis=-1).reshape((v,) + shape + (4,))
 
-    ray2tar = q_c2w[:3, 3][None, None, :] - pts[None, :, :]  # [1,P,3]
-    ray2tar = ray2tar / (jnp.linalg.norm(ray2tar, axis=-1, keepdims=True) + TINY)
-    ray2tar = jnp.broadcast_to(ray2tar, (v,) + ray2tar.shape[1:])
-    ray2src = src_c2w[:, :3, 3][:, None, :] - pts[None, :, :]  # [V,P,3]
-    ray2src = ray2src / (jnp.linalg.norm(ray2src, axis=-1, keepdims=True) + TINY)
 
-    diff = ray2tar - ray2src
-    diff_norm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
-    diff_dot = jnp.sum(ray2tar * ray2src, axis=-1, keepdims=True)
-    diff_dir = diff / jnp.clip(diff_norm, TINY, None)
-    out = jnp.concatenate([diff_dir, diff_dot], axis=-1)
-    return out.reshape((v,) + shape + (4,))
+def inbound_mask_planes(pix_x, pix_y, h, w):
+    return (pix_x <= w - 1.0) & (pix_x >= 0) & (pix_y <= h - 1.0) & (pix_y >= 0)
 
 
 def inbound_mask(pixel_locations, h, w):
-    """Pixel locations within the image rectangle (inclusive edges)."""
-    return (
-        (pixel_locations[..., 0] <= w - 1.0)
-        & (pixel_locations[..., 0] >= 0)
-        & (pixel_locations[..., 1] <= h - 1.0)
-        & (pixel_locations[..., 1] >= 0)
+    return inbound_mask_planes(
+        pixel_locations[..., 0], pixel_locations[..., 1], h, w
     )
 
 
@@ -101,19 +130,24 @@ def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
         src_cameras = jax.lax.stop_gradient(src_cameras)
     h = src_cameras[0, 0]
     w = src_cameras[0, 1]
+    r, s = xyz.shape[0], xyz.shape[1]
+    v = src_cameras.shape[0]
+    pts = xyz.reshape(-1, 3)
 
-    pix, in_front = project_points(xyz, src_cameras)  # [V,R,S,2], [V,R,S]
-    resize = jnp.stack([w - 1.0, h - 1.0])
-    norm_pix = 2.0 * pix / resize - 1.0
+    pix_x, pix_y, in_front = project_points_planes(pts, src_cameras)  # [V,P]
+    # normalized [-1,1] coords (align_corners convention lives in the gather)
+    gx = 2.0 * pix_x / (w - 1.0) - 1.0
+    gy = 2.0 * pix_y / (h - 1.0) - 1.0
 
-    rgb_sampled = grid_sample_bilinear_batched(src_rgbs, norm_pix)  # [V,R,S,3]
-    feat_sampled = grid_sample_bilinear_batched(featmaps, norm_pix)  # [V,R,S,C]
+    rgb_sampled = gather_bilinear_planes(src_rgbs, gx, gy)  # [V,P,3]
+    feat_sampled = gather_bilinear_planes(featmaps, gx, gy)  # [V,P,C]
     rgb_feat = jnp.concatenate([rgb_sampled, feat_sampled], axis=-1)
+    rgb_feat = rgb_feat.reshape(v, r, s, -1)
 
-    ray_diff = compute_angles(xyz, query_camera, src_cameras)  # [V,R,S,4]
-    mask = ((inbound_mask(pix, h, w) & in_front).astype(rgb_feat.dtype))[..., None]
+    dx, dy, dz, dot = compute_angle_planes(pts, query_camera, src_cameras)
+    ray_diff = jnp.stack([dx, dy, dz, dot], axis=-1).reshape(v, r, s, 4)
 
-    # views-FIRST layout [V, R, S, C]: the gather's native order; the view axis
-    # (the reduction axis of every aggregator pooling/softmax) stays major, so
-    # no transposes/relayouts hit the hot path
+    mask = (inbound_mask_planes(pix_x, pix_y, h, w) & in_front).astype(
+        rgb_feat.dtype
+    ).reshape(v, r, s, 1)
     return rgb_feat, ray_diff, mask
