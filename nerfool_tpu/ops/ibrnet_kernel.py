@@ -147,7 +147,7 @@ def _kernel(rgb_feat_ref, ray_diff_ref, mask_ref, pos_enc_ref, *refs,
     bw = jax.nn.softmax(xr, axis=0)
     rgb_out = jnp.sum(rgb_in * bw, axis=0)  # [R,S,3]
 
-    out_ref[:] = jnp.concatenate([rgb_out, sigma], axis=-1)
+    out_ref[:] = jnp.concatenate([rgb_out, sigma], axis=-1).astype(out_ref.dtype)
 
 
 @functools.partial(
