@@ -106,39 +106,66 @@ def grid_sample_bilinear_batched(images, grid):
     return out.reshape((v,) + out_shape[1:] + (c,))
 
 
-def gather_bilinear_planes(images, gx, gy):
-    """Bilinear sampling from component-plane coordinates.
+def pack_corner_table(images):
+    """Pack each pixel's 2x2 bilinear footprint into one row.
 
-    Same semantics as :func:`grid_sample_bilinear_batched` but takes the
-    normalized x/y coordinates as separate [V, P] planes (full-lane tiles; no
-    [V, P, 2] intermediate) and returns [V, P, C].
+    :param images: [V, H, W, C]
+    :return: flat table [V*(H+1)*(W+1), 4C]; row (v, yb, xb) holds the
+        zero-padded pixels (yb-1..yb, xb-1..xb) so ONE row gather yields all
+        four corner values of a bilinear tap. Gather cost on TPU is per-row,
+        not per-byte, so this quarters the sampler's HBM random reads (and its
+        backward's scatters).
+    """
+    images = jnp.asarray(images)
+    padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    packed = jnp.concatenate(
+        [padded[:, :-1, :-1], padded[:, :-1, 1:],
+         padded[:, 1:, :-1], padded[:, 1:, 1:]], axis=-1
+    )  # [V, H+1, W+1, 4C]
+    v, hp, wp, c4 = packed.shape
+    return packed.reshape(v * hp * wp, c4)
+
+
+def gather_bilinear_planes(images, gx, gy, packed=None):
+    """Bilinear sampling from component-plane coordinates via ONE row gather.
+
+    Same semantics as :func:`grid_sample_bilinear_batched` (align_corners=True,
+    zeros padding) but takes normalized x/y as separate [V, P] planes and reads
+    a corner-packed table (see :func:`pack_corner_table`; built on the fly when
+    not supplied). Returns [V, P, C].
     """
     images = jnp.asarray(images)
     v, h, w, c = images.shape
-    flat = images.reshape(v * h * w, c)
+    if packed is None:
+        packed = pack_corner_table(images)
+    hp, wp = h + 1, w + 1
+
     ix = (gx + 1.0) * 0.5 * (w - 1)
     iy = (gy + 1.0) * 0.5 * (h - 1)
     x0 = jnp.floor(ix)
     y0 = jnp.floor(iy)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
     wx1 = ix - x0
     wx0 = 1.0 - wx1
     wy1 = iy - y0
     wy0 = 1.0 - wy1
-    base = (jnp.arange(v, dtype=jnp.int32) * (h * w))[:, None]
 
-    def corner(xf, yf, wgt):
+    # base index into the padded table: clip so all 4 footprint pixels exist
+    # (out-of-range corners read padded zeros and are weight-masked anyway)
+    xb = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1  # [0, w]
+    yb = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+    base = (jnp.arange(v, dtype=jnp.int32) * (hp * wp))[:, None]
+    rows = packed[(base + yb * wp + xb).reshape(-1)]  # [V*P, 4C]
+
+    dt = packed.dtype  # packed table carries the compute dtype
+
+    def wc(wgt, xf, yf):
         valid = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
-        xi = jnp.clip(xf.astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(yf.astype(jnp.int32), 0, h - 1)
-        rows = flat[(base + yi * w + xi).reshape(-1)]  # [V*P, C]
-        return rows * (wgt * valid.astype(images.dtype)).reshape(-1, 1)
+        return (wgt * valid.astype(dt)).reshape(-1, 1)
 
     out = (
-        corner(x0, y0, wx0 * wy0)
-        + corner(x1, y0, wx1 * wy0)
-        + corner(x0, y1, wx0 * wy1)
-        + corner(x1, y1, wx1 * wy1)
+        rows[:, :c] * wc(wx0 * wy0, x0, y0)
+        + rows[:, c:2 * c] * wc(wx1 * wy0, x0 + 1, y0)
+        + rows[:, 2 * c:3 * c] * wc(wx0 * wy1, x0, y0 + 1)
+        + rows[:, 3 * c:] * wc(wx1 * wy1, x0 + 1, y0 + 1)
     )
     return out.reshape(v, -1, c)

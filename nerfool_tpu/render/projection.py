@@ -111,7 +111,8 @@ def inbound_mask(pixel_locations, h, w):
 
 
 def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
-                    stop_camera_grad=True):
+                    stop_camera_grad=True, packed_rgb=None, packed_feat=None,
+                    feat_shape=None):
     """Project sample points into all source views and gather colors + features.
 
     :param xyz: [n_rays, n_samples, 3]
@@ -139,8 +140,8 @@ def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
     gx = 2.0 * pix_x / (w - 1.0) - 1.0
     gy = 2.0 * pix_y / (h - 1.0) - 1.0
 
-    rgb_sampled = gather_bilinear_planes(src_rgbs, gx, gy)  # [V,P,3]
-    feat_sampled = gather_bilinear_planes(featmaps, gx, gy)  # [V,P,C]
+    rgb_sampled = gather_bilinear_planes(src_rgbs, gx, gy, packed=packed_rgb)
+    feat_sampled = gather_bilinear_planes(featmaps, gx, gy, packed=packed_feat)
     rgb_feat = jnp.concatenate([rgb_sampled, feat_sampled], axis=-1)
     rgb_feat = rgb_feat.reshape(v, r, s, -1)
 

@@ -28,6 +28,8 @@ def render_rays_blocked(
     ``ray_batch`` per-ray entries (ray_o, ray_d) are padded to a block multiple;
     outputs come back [N_padded, ...] and the caller slices to N.
     """
+    from nerfool_tpu.render.render_rays import make_packed_tables
+
     n = ray_batch["ray_o"].shape[0]
     ray_o, _ = pad_to_multiple(ray_batch["ray_o"], block_size)
     ray_d, _ = pad_to_multiple(ray_batch["ray_d"], block_size)
@@ -36,6 +38,9 @@ def render_rays_blocked(
         "ray_o": ray_o.reshape(nb, block_size, 3),
         "ray_d": ray_d.reshape(nb, block_size, 3),
     }
+    # corner-pack the gather tables ONCE, outside the block loop
+    packed = make_packed_tables(src_rgbs, featmaps, featmaps_clean,
+                                cfg.compute_dtype)
 
     def render_block(b):
         batch = dict(ray_batch)
@@ -44,7 +49,7 @@ def render_rays_blocked(
         return render_rays(
             params, model, batch, featmaps, cfg,
             src_rgbs=src_rgbs, src_cameras=src_cameras, key=key,
-            featmaps_clean=featmaps_clean,
+            featmaps_clean=featmaps_clean, packed=packed,
         )
 
     out = jax.lax.map(render_block, blocks)

@@ -81,20 +81,54 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
     return shade
 
 
+def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None, compute_dtype="float32"):
+    """Corner-pack the gather tables once (outside any chunk loop).
+
+    Returns {'rgb', 'feat': (coarse, fine), 'shapes', optionally 'feat_clean'};
+    tables are cast to the compute dtype first so the packed rows carry the
+    cheap representation through every chunk's gathers.
+    """
+    from nerfool_tpu.ops.grid_sample import pack_corner_table
+
+    dt = jnp.dtype(compute_dtype)
+    cast = (lambda x: x.astype(dt)) if dt != jnp.float32 else (lambda x: x)
+    packed = {
+        "rgb": pack_corner_table(cast(src_rgbs)),
+        "feat": tuple(pack_corner_table(cast(f)) for f in featmaps),
+        "shapes": {
+            "rgb": src_rgbs.shape,
+            "feat": tuple(f.shape for f in featmaps),
+        },
+    }
+    if featmaps_clean is not None:
+        packed["feat_clean"] = tuple(
+            pack_corner_table(cast(f)) for f in featmaps_clean
+        )
+        packed["shapes"]["feat_clean"] = tuple(f.shape for f in featmaps_clean)
+    return packed
+
+
 def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
-                      featmap, level, ray_d):
+                      featmap, level, ray_d, packed_rgb=None, packed_feat=None,
+                      feat_shape=None):
     """Project points into source views and run the aggregator."""
     dt = jnp.dtype(cfg.compute_dtype)
-    if dt != jnp.float32:
+    if dt != jnp.float32 and packed_feat is None:
         featmap = featmap.astype(dt)
-        src_rgbs = src_rgbs.astype(dt)
+    if dt != jnp.float32 and packed_rgb is None:
+        src_rgbs_gather = src_rgbs.astype(dt)
+    else:
+        src_rgbs_gather = src_rgbs
     rgb_feat, ray_diff, mask = epipolar_gather(
         pts,
         ray_batch["camera"].reshape(-1)[:34],
-        src_rgbs,
+        src_rgbs_gather,
         src_cameras,
         featmap,
         stop_camera_grad=cfg.stop_camera_grad,
+        packed_rgb=packed_rgb,
+        packed_feat=packed_feat,
+        feat_shape=feat_shape,
     )
     if dt != jnp.float32:
         rgb_feat = rgb_feat.astype(dt)
@@ -120,6 +154,7 @@ def render_rays(
     src_cameras=None,
     key: Optional[jax.Array] = None,
     featmaps_clean=None,
+    packed=None,
 ):
     """Render a batch of rays end to end (coarse + optional fine pass).
 
@@ -141,16 +176,25 @@ def render_rays(
         cfg.n_samples, inv_uniform=cfg.inv_uniform, det=cfg.det, key=keys[0],
     )
     ray_d = ray_batch["ray_d"]
+    if packed is None:
+        packed = make_packed_tables(
+            src_rgbs, featmaps, featmaps_clean, cfg.compute_dtype
+        )
 
-    def run_level(pts, z_vals, level, featmap, featmap_clean, noise_key):
+    def run_level(pts, z_vals, level, li, noise_key):
         raw, pixel_mask = _gather_and_shade(
-            params, model, cfg, pts, ray_batch, src_rgbs, src_cameras, featmap,
-            level, ray_d,
+            params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
+            featmaps[li], level, ray_d,
+            packed_rgb=packed["rgb"], packed_feat=packed["feat"][li],
+            feat_shape=packed["shapes"]["feat"][li],
         )
         if cfg.use_clean_color or cfg.use_clean_density:
             raw_clean, _ = _gather_and_shade(
                 params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
-                featmap_clean, level, ray_d,
+                featmaps_clean[li], level, ray_d,
+                packed_rgb=packed["rgb"],
+                packed_feat=packed["feat_clean"][li],
+                feat_shape=packed["shapes"]["feat_clean"][li],
             )
             color = raw_clean[..., :3] if cfg.use_clean_color else raw[..., :3]
             sigma = raw_clean[..., 3:4] if cfg.use_clean_density else raw[..., 3:4]
@@ -172,11 +216,7 @@ def render_rays(
         # whole-image render does no white painting
         return {"rgb": rgb, "weights": weights, "depth": depth}
 
-    outputs_coarse = run_level(
-        pts, z_vals, "coarse",
-        featmaps[0], featmaps_clean[0] if featmaps_clean is not None else None,
-        keys[1],
-    )
+    outputs_coarse = run_level(pts, z_vals, "coarse", 0, keys[1])
     ret = {"outputs_coarse": outputs_coarse, "outputs_fine": None}
 
     if cfg.n_importance > 0:
@@ -186,9 +226,5 @@ def render_rays(
             det=cfg.det, key=keys[2],
         )
         pts_fine = z_all[..., None] * ray_d[:, None, :] + ray_batch["ray_o"][:, None, :]
-        ret["outputs_fine"] = run_level(
-            pts_fine, z_all, "fine",
-            featmaps[1], featmaps_clean[1] if featmaps_clean is not None else None,
-            keys[3],
-        )
+        ret["outputs_fine"] = run_level(pts_fine, z_all, "fine", 1, keys[3])
     return ret

@@ -53,3 +53,17 @@ def test_batched_matches_vmap(rng):
     ref = np.asarray(jax.vmap(grid_sample_bilinear)(jnp.asarray(images), jnp.asarray(grid)))
     ours = np.asarray(grid_sample_bilinear_batched(jnp.asarray(images), jnp.asarray(grid)))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_planes_gather_matches_torch(rng):
+    """Corner-packed plane gather == torch grid_sample, incl. boundary taps."""
+    from nerfool_tpu.ops.grid_sample import gather_bilinear_planes
+
+    images = rng.randn(3, 9, 13, 6).astype(np.float32)
+    grid = rng.uniform(-1.6, 1.6, size=(3, 40, 2)).astype(np.float32)
+    gx = jnp.asarray(grid[..., 0])
+    gy = jnp.asarray(grid[..., 1])
+    ours = np.asarray(gather_bilinear_planes(jnp.asarray(images), gx, gy))
+    for vi in range(3):
+        ref = _torch_grid_sample(images[vi], grid[vi])
+        np.testing.assert_allclose(ours[vi], ref, rtol=1e-5, atol=1e-5)
