@@ -309,7 +309,10 @@ class AdvEvaluator:
         psnr_{scene}_{step}.txt."""
         import jax.numpy as jnp
 
-        from nerfool_tpu.metrics.image import psnr as psnr_fn, ssim as ssim_fn
+        from nerfool_tpu.metrics.image import psnr, ssim
+
+        psnr_fn = self.jax.jit(psnr)
+        ssim_fn = self.jax.jit(ssim)
 
         args = self.args
         lpips_fn = self._build_lpips()
