@@ -19,6 +19,7 @@ import numpy as np
 
 REF_RAYS_PER_SEC = 25_000.0  # single-GPU reference anchor (see module docstring)
 
+BACKBONE = os.environ.get("BENCH_BACKBONE", "ibrnet")
 H = int(os.environ.get("BENCH_H", 756))
 W = int(os.environ.get("BENCH_W", 1008))
 N_SRC = int(os.environ.get("BENCH_SRC", 10))
@@ -27,7 +28,7 @@ N_IMPORTANCE = int(os.environ.get("BENCH_NIMPORTANCE", 64))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 4096))
 N_RAND = int(os.environ.get("BENCH_NRAND", 512))
 ATTACK_ITERS = int(os.environ.get("BENCH_ATTACK_ITERS", 10))
-DTYPE = os.environ.get("BENCH_DTYPE", "float32")
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # rendering path; attacks stay f32
 
 
 def log(*a):
@@ -70,9 +71,14 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
-    bundle = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(0))
-    cfg = RenderConfig(n_samples=N_SAMPLES, n_importance=N_IMPORTANCE, det=True,
-                       inv_uniform=True, backbone="ibrnet", compute_dtype=DTYPE)
+    bundle = create_model(backbone=BACKBONE, rng_key=jax.random.PRNGKey(0),
+                          trans_depth=8, single_net=True)
+    cfg = RenderConfig(
+        n_samples=N_SAMPLES, n_importance=N_IMPORTANCE, det=True,
+        inv_uniform=BACKBONE == "ibrnet", backbone=BACKBONE,
+        single_net=BACKBONE == "gnt", ret_alpha=BACKBONE == "gnt",
+        stop_camera_grad=BACKBONE == "ibrnet", compute_dtype=DTYPE,
+    )
 
     src_rgbs_j = jnp.asarray(src_rgbs)
     src_cams_j = jnp.asarray(src_cams)
@@ -136,8 +142,8 @@ def main():
     log(f"clean render: {n_rays} rays in {render_s:.3f}s -> {rays_per_sec:,.0f} rays/s")
 
     # ---- attack step benchmark (f32 render config: the parity path)
-    attack_render_cfg = RenderConfig(n_samples=N_SAMPLES, n_importance=N_IMPORTANCE,
-                                     det=True, inv_uniform=True, backbone="ibrnet")
+    import dataclasses
+    attack_render_cfg = dataclasses.replace(cfg, compute_dtype="float32")
     acfg = AttackConfig(h=H, w=W, n_rand=N_RAND, use_adam=True, adam_lr=1e-3,
                         epsilon=8.0)
     target = {
