@@ -13,6 +13,16 @@ import shlex
 import sys
 
 
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "yes", "1"):
+        return True
+    if v.lower() in ("false", "no", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
 class ConfigArgumentParser(argparse.ArgumentParser):
     """argparse with configargparse-style '--config file' default merging."""
 
@@ -25,7 +35,23 @@ class ConfigArgumentParser(argparse.ArgumentParser):
             elif a.startswith("--config="):
                 cfg_path = a.split("=", 1)[1]
         if cfg_path:
-            file_args = _read_config_file(cfg_path)
+            file_args = []
+            for key, vals in _read_config_file(cfg_path):
+                action = self._option_string_actions.get(f"--{key}")
+                if isinstance(
+                    action, (argparse._StoreTrueAction, argparse._StoreFalseAction)
+                ):
+                    # configargparse style: `flag = True` sets store_true flags,
+                    # `flag = False` leaves the default
+                    try:
+                        enabled = len(vals) == 1 and str2bool(vals[0])
+                    except argparse.ArgumentTypeError as e:
+                        self.error(f"argument --{key} (from {cfg_path}): {e}")
+                    if enabled:
+                        file_args.append(f"--{key}")
+                else:
+                    file_args.append(f"--{key}")
+                    file_args.extend(vals)
             # file entries act as defaults: prepend so explicit CLI wins
             args = file_args + args
         return super().parse_args(args, namespace)
@@ -45,16 +71,10 @@ def _read_config_file(path):
                 key, val = parts[0], parts[1] if len(parts) > 1 else "true"
             key = key.strip()
             val = val.strip()
-            if val.lower() == "true":
-                out.append(f"--{key}")
-            elif val.lower() == "false":
-                continue
-            elif val.startswith("[") and val.endswith("]"):
-                out.append(f"--{key}")
-                out.extend(shlex.split(val[1:-1].replace(",", " ")))
+            if val.startswith("[") and val.endswith("]"):
+                out.append((key, shlex.split(val[1:-1].replace(",", " "))))
             else:
-                out.append(f"--{key}")
-                out.extend(shlex.split(val))
+                out.append((key, shlex.split(val)))
     return out
 
 
@@ -95,7 +115,7 @@ def config_parser():
     # gnt-specific
     parser.add_argument("--netwidth", type=int, default=64)
     parser.add_argument("--trans_depth", type=int, default=4)
-    parser.add_argument("--single_net", type=bool, default=True)
+    parser.add_argument("--single_net", type=str2bool, default=True)
     parser.add_argument("--ret_alpha", action="store_true")
 
     # checkpoints

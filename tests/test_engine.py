@@ -44,6 +44,26 @@ def test_config_file_merging(tmp_path):
     assert args2.N_samples == 48
 
 
+def test_all_shipped_configs_parse():
+    """Every canonical config under configs/ must parse (incl. bool-typed and
+    store_true flags written configargparse-style as `flag = True`)."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = sorted(glob.glob(os.path.join(root, "*", "*.txt")))
+    assert len(files) >= 11
+    for f in files:
+        args = config_parser().parse_args(["--config", f])
+        assert args.backbone in ("ibrnet", "gnt")
+        assert isinstance(args.single_net, bool)
+    # file value for a non-store_true bool flag
+    args = config_parser().parse_args(
+        ["--config", os.path.join(root, "gnt", "gnt_full.txt"), "--single_net", "False"]
+    )
+    assert args.single_net is False
+
+
 def test_view_specific_end_to_end(tmp_path, small_kwargs):
     from nerfool_tpu.attack.engine import AdvEvaluator
 
