@@ -29,6 +29,7 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", 4096))
 N_RAND = int(os.environ.get("BENCH_NRAND", 512))
 ATTACK_ITERS = int(os.environ.get("BENCH_ATTACK_ITERS", 10))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # rendering path; attacks stay f32
+REUSE_TAPS = os.environ.get("BENCH_REUSE_TAPS", "1") == "1"  # fine-pass tap reuse
 
 
 def log(*a):
@@ -78,6 +79,7 @@ def main():
         inv_uniform=BACKBONE == "ibrnet", backbone=BACKBONE,
         single_net=BACKBONE == "gnt", ret_alpha=BACKBONE == "gnt",
         stop_camera_grad=BACKBONE == "ibrnet", compute_dtype=DTYPE,
+        reuse_fine_taps=REUSE_TAPS,
     )
 
     src_rgbs_j = jnp.asarray(src_rgbs)

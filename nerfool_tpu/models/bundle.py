@@ -192,6 +192,7 @@ def default_render_config(args=None, backbone="ibrnet", **overrides) -> RenderCo
             inv_uniform="inv_uniform", det="det", white_bkgd="white_bkgd",
             ret_alpha="ret_alpha", geo_noise="geo_noise",
             use_clean_color="use_clean_color", use_clean_density="use_clean_density",
+            reuse_fine_taps="reuse_fine_taps",
         )
         if backbone == "gnt":
             mapping["single_net"] = "single_net"

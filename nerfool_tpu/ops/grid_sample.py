@@ -126,18 +126,23 @@ def pack_corner_table(images):
     return packed.reshape(v * hp * wp, c4)
 
 
-def gather_bilinear_planes(images, gx, gy, packed=None):
+def gather_bilinear_planes(images, gx, gy, packed=None, shape=None):
     """Bilinear sampling from component-plane coordinates via ONE row gather.
 
     Same semantics as :func:`grid_sample_bilinear_batched` (align_corners=True,
     zeros padding) but takes normalized x/y as separate [V, P] planes and reads
     a corner-packed table (see :func:`pack_corner_table`; built on the fly when
-    not supplied). Returns [V, P, C].
+    not supplied). ``images`` may be None when both ``packed`` and its source
+    ``shape`` [V, H, W, C] are given. Returns [V, P, C].
     """
-    images = jnp.asarray(images)
-    v, h, w, c = images.shape
-    if packed is None:
-        packed = pack_corner_table(images)
+    if images is None:
+        assert packed is not None and shape is not None
+        v, h, w, c = shape
+    else:
+        images = jnp.asarray(images)
+        v, h, w, c = images.shape
+        if packed is None:
+            packed = pack_corner_table(images)
     hp, wp = h + 1, w + 1
 
     ix = (gx + 1.0) * 0.5 * (w - 1)

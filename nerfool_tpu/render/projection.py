@@ -110,6 +110,46 @@ def inbound_mask(pixel_locations, h, w):
     )
 
 
+def epipolar_gather_components(xyz, query_camera, src_rgbs, src_cameras, featmaps,
+                               stop_camera_grad=True, packed_rgb=None,
+                               packed_feat=None, feat_shape=None):
+    """Like :func:`epipolar_gather` but keeps colors and features separate.
+
+    Used by the fine-pass tap-reuse path, where ``featmaps``/``packed_feat`` may
+    be a channel-unified (coarse|fine) table that downstream code slices;
+    ``featmaps`` may be None when (``packed_feat``, ``feat_shape``) are given.
+
+    :return: (rgb [V, R, S, 3], feat [V, R, S, C],
+              ray_diff [V, R, S, 4], mask [V, R, S, 1] float)
+    """
+    if stop_camera_grad:
+        src_cameras = jax.lax.stop_gradient(src_cameras)
+    h = src_cameras[0, 0]
+    w = src_cameras[0, 1]
+    r, s = xyz.shape[0], xyz.shape[1]
+    v = src_cameras.shape[0]
+    pts = xyz.reshape(-1, 3)
+
+    pix_x, pix_y, in_front = project_points_planes(pts, src_cameras)  # [V,P]
+    # normalized [-1,1] coords (align_corners convention lives in the gather)
+    gx = 2.0 * pix_x / (w - 1.0) - 1.0
+    gy = 2.0 * pix_y / (h - 1.0) - 1.0
+
+    rgb_sampled = gather_bilinear_planes(src_rgbs, gx, gy, packed=packed_rgb)
+    feat_sampled = gather_bilinear_planes(featmaps, gx, gy, packed=packed_feat,
+                                          shape=feat_shape)
+    rgb = rgb_sampled.reshape(v, r, s, -1)
+    feat = feat_sampled.reshape(v, r, s, -1)
+
+    dx, dy, dz, dot = compute_angle_planes(pts, query_camera, src_cameras)
+    ray_diff = jnp.stack([dx, dy, dz, dot], axis=-1).reshape(v, r, s, 4)
+
+    mask = (inbound_mask_planes(pix_x, pix_y, h, w) & in_front).astype(
+        rgb.dtype
+    ).reshape(v, r, s, 1)
+    return rgb, feat, ray_diff, mask
+
+
 def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
                     stop_camera_grad=True, packed_rgb=None, packed_feat=None,
                     feat_shape=None):
@@ -127,28 +167,9 @@ def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
               ray_diff [V, n_rays, n_samples, 4],
               mask [V, n_rays, n_samples, 1] float)
     """
-    if stop_camera_grad:
-        src_cameras = jax.lax.stop_gradient(src_cameras)
-    h = src_cameras[0, 0]
-    w = src_cameras[0, 1]
-    r, s = xyz.shape[0], xyz.shape[1]
-    v = src_cameras.shape[0]
-    pts = xyz.reshape(-1, 3)
-
-    pix_x, pix_y, in_front = project_points_planes(pts, src_cameras)  # [V,P]
-    # normalized [-1,1] coords (align_corners convention lives in the gather)
-    gx = 2.0 * pix_x / (w - 1.0) - 1.0
-    gy = 2.0 * pix_y / (h - 1.0) - 1.0
-
-    rgb_sampled = gather_bilinear_planes(src_rgbs, gx, gy, packed=packed_rgb)
-    feat_sampled = gather_bilinear_planes(featmaps, gx, gy, packed=packed_feat)
-    rgb_feat = jnp.concatenate([rgb_sampled, feat_sampled], axis=-1)
-    rgb_feat = rgb_feat.reshape(v, r, s, -1)
-
-    dx, dy, dz, dot = compute_angle_planes(pts, query_camera, src_cameras)
-    ray_diff = jnp.stack([dx, dy, dz, dot], axis=-1).reshape(v, r, s, 4)
-
-    mask = (inbound_mask_planes(pix_x, pix_y, h, w) & in_front).astype(
-        rgb_feat.dtype
-    ).reshape(v, r, s, 1)
-    return rgb_feat, ray_diff, mask
+    rgb, feat, ray_diff, mask = epipolar_gather_components(
+        xyz, query_camera, src_rgbs, src_cameras, featmaps,
+        stop_camera_grad=stop_camera_grad, packed_rgb=packed_rgb,
+        packed_feat=packed_feat, feat_shape=feat_shape,
+    )
+    return jnp.concatenate([rgb, feat], axis=-1), ray_diff, mask

@@ -28,7 +28,10 @@ def render_rays_blocked(
     ``ray_batch`` per-ray entries (ray_o, ray_d) are padded to a block multiple;
     outputs come back [N_padded, ...] and the caller slices to N.
     """
-    from nerfool_tpu.render.render_rays import make_packed_tables
+    from nerfool_tpu.render.render_rays import (
+        make_packed_tables,
+        wants_unified_tables,
+    )
 
     n = ray_batch["ray_o"].shape[0]
     ray_o, _ = pad_to_multiple(ray_batch["ray_o"], block_size)
@@ -39,8 +42,10 @@ def render_rays_blocked(
         "ray_d": ray_d.reshape(nb, block_size, 3),
     }
     # corner-pack the gather tables ONCE, outside the block loop
-    packed = make_packed_tables(src_rgbs, featmaps, featmaps_clean,
-                                cfg.compute_dtype)
+    packed = make_packed_tables(
+        src_rgbs, featmaps, featmaps_clean, cfg.compute_dtype,
+        unify_feat=wants_unified_tables(cfg, featmaps, featmaps_clean),
+    )
 
     def render_block(b):
         batch = dict(ray_batch)

@@ -20,7 +20,10 @@ import jax
 import jax.numpy as jnp
 
 from nerfool_tpu.render.compositor import raw2outputs
-from nerfool_tpu.render.projection import epipolar_gather
+from nerfool_tpu.render.projection import (
+    epipolar_gather,
+    epipolar_gather_components,
+)
 from nerfool_tpu.render.sampling import sample_along_camera_ray, sample_fine_zvals
 
 
@@ -48,6 +51,11 @@ class RenderConfig:
     # the attack backward keeps the XLA implementation)
     use_pallas: bool = False
     pallas_ray_block: int = 16
+    # fine-pass tap reuse: pack coarse+fine feature heads into ONE table
+    # (gather cost on TPU is per-row) and re-gather only the n_importance NEW
+    # points in the fine pass, reordering the coarse taps on-chip — ~1/3 fewer
+    # random HBM gathers (and backward scatters) per rendered ray
+    reuse_fine_taps: bool = False
 
 
 def make_shade_fn(model, cfg: RenderConfig) -> Callable:
@@ -81,12 +89,31 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
     return shade
 
 
-def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None, compute_dtype="float32"):
+def wants_unified_tables(cfg: RenderConfig, featmaps, featmaps_clean=None):
+    """True when the fine-pass tap-reuse path applies (and so the packed
+    feature tables should be channel-unified)."""
+    return (
+        cfg.reuse_fine_taps
+        and cfg.n_importance > 0
+        and not (cfg.use_clean_color or cfg.use_clean_density)
+        and featmaps_clean is None
+        and featmaps[0].shape[:3] == featmaps[1].shape[:3]
+    )
+
+
+def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None,
+                       compute_dtype="float32", unify_feat=False):
     """Corner-pack the gather tables once (outside any chunk loop).
 
     Returns {'rgb', 'feat': (coarse, fine), 'shapes', optionally 'feat_clean'};
     tables are cast to the compute dtype first so the packed rows carry the
     cheap representation through every chunk's gathers.
+
+    With ``unify_feat`` (fine-pass tap reuse) the coarse and fine feature heads
+    are packed as ONE channel-concatenated table instead: 'feat' is None and
+    the dict gains 'feat_all' plus per-level channel ranges 'feat_slices'.
+    Gather cost on TPU is per-row, so one 2C-channel row costs what a C-channel
+    row does — and the same row then serves both render passes.
     """
     from nerfool_tpu.ops.grid_sample import pack_corner_table
 
@@ -94,12 +121,27 @@ def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None, compute_dtype="f
     cast = (lambda x: x.astype(dt)) if dt != jnp.float32 else (lambda x: x)
     packed = {
         "rgb": pack_corner_table(cast(src_rgbs)),
-        "feat": tuple(pack_corner_table(cast(f)) for f in featmaps),
         "shapes": {
             "rgb": src_rgbs.shape,
             "feat": tuple(f.shape for f in featmaps),
         },
     }
+    if unify_feat:
+        c0 = featmaps[0].shape[-1]
+        if featmaps[0] is featmaps[1]:  # gnt single_net: one shared head
+            feat_all = jnp.asarray(featmaps[0])
+            slices = ((0, c0), (0, c0))
+        else:
+            feat_all = jnp.concatenate(
+                [jnp.asarray(f) for f in featmaps], axis=-1
+            )
+            slices = ((0, c0), (c0, c0 + featmaps[1].shape[-1]))
+        packed["feat"] = None
+        packed["feat_all"] = pack_corner_table(cast(feat_all))
+        packed["feat_slices"] = slices
+        packed["shapes"]["feat_all"] = feat_all.shape
+    else:
+        packed["feat"] = tuple(pack_corner_table(cast(f)) for f in featmaps)
     if featmaps_clean is not None:
         packed["feat_clean"] = tuple(
             pack_corner_table(cast(f)) for f in featmaps_clean
@@ -130,6 +172,15 @@ def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
         packed_feat=packed_feat,
         feat_shape=feat_shape,
     )
+    raw = _shade_raw(params, model, cfg, rgb_feat, ray_diff, mask, pts, ray_d,
+                     level)
+    pixel_mask = jnp.sum(mask[..., 0], axis=0) > 1  # >= 2 observations (views-first)
+    return raw, pixel_mask
+
+
+def _shade_raw(params, model, cfg, rgb_feat, ray_diff, mask, pts, ray_d, level):
+    """Run the aggregator on gathered taps; returns raw outputs in float32."""
+    dt = jnp.dtype(cfg.compute_dtype)
     if dt != jnp.float32:
         rgb_feat = rgb_feat.astype(dt)
         ray_diff = ray_diff.astype(dt)
@@ -139,9 +190,26 @@ def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
     net_key = "net_coarse" if (level == "coarse" or cfg.single_net) else "net_fine"
     raw = shade(params[net_key], model[net_key], rgb_feat, ray_diff, mask,
                 pts.astype(dt), ray_d.astype(dt))
-    raw = raw.astype(jnp.float32)
-    pixel_mask = jnp.sum(mask[..., 0], axis=0) > 1  # >= 2 observations (views-first)
-    return raw, pixel_mask
+    return raw.astype(jnp.float32)
+
+
+def _finalize_level(cfg: RenderConfig, raw, z_vals, pixel_mask, noise_key):
+    """Raw aggregator outputs -> per-ray render outputs."""
+    if cfg.backbone == "ibrnet":
+        return raw2outputs(
+            raw, z_vals, pixel_mask, white_bkgd=cfg.white_bkgd,
+            geo_noise=cfg.geo_noise, key=noise_key,
+        )
+    # gnt: rgb directly; attention map doubles as compositing weights
+    if cfg.ret_alpha:
+        rgb, weights = raw[:, :3], raw[:, 3:]
+        depth = jnp.sum(weights * z_vals, axis=-1)
+    else:
+        rgb, weights, depth = raw, None, None
+    # NOTE: no validity mask — the GNT stack's outputs carry none, so its
+    # criterion falls back to a plain mean (gnt/criterion.py:9-22) and its
+    # whole-image render does no white painting
+    return {"rgb": rgb, "weights": weights, "depth": depth}
 
 
 def render_rays(
@@ -178,7 +246,13 @@ def render_rays(
     ray_d = ray_batch["ray_d"]
     if packed is None:
         packed = make_packed_tables(
-            src_rgbs, featmaps, featmaps_clean, cfg.compute_dtype
+            src_rgbs, featmaps, featmaps_clean, cfg.compute_dtype,
+            unify_feat=wants_unified_tables(cfg, featmaps, featmaps_clean),
+        )
+    if packed.get("feat") is None:  # unified tables -> fine-pass tap reuse
+        return _render_rays_reuse(
+            params, model, ray_batch, cfg, src_rgbs, src_cameras, keys, packed,
+            pts, z_vals,
         )
 
     def run_level(pts, z_vals, level, li, noise_key):
@@ -200,21 +274,7 @@ def render_rays(
             sigma = raw_clean[..., 3:4] if cfg.use_clean_density else raw[..., 3:4]
             raw = jnp.concatenate([color, sigma], axis=-1)
 
-        if cfg.backbone == "ibrnet":
-            return raw2outputs(
-                raw, z_vals, pixel_mask, white_bkgd=cfg.white_bkgd,
-                geo_noise=cfg.geo_noise, key=noise_key,
-            )
-        # gnt: rgb directly; attention map doubles as compositing weights
-        if cfg.ret_alpha:
-            rgb, weights = raw[:, :3], raw[:, 3:]
-            depth = jnp.sum(weights * z_vals, axis=-1)
-        else:
-            rgb, weights, depth = raw, None, None
-        # NOTE: no validity mask — the GNT stack's outputs carry none, so its
-        # criterion falls back to a plain mean (gnt/criterion.py:9-22) and its
-        # whole-image render does no white painting
-        return {"rgb": rgb, "weights": weights, "depth": depth}
+        return _finalize_level(cfg, raw, z_vals, pixel_mask, noise_key)
 
     outputs_coarse = run_level(pts, z_vals, "coarse", 0, keys[1])
     ret = {"outputs_coarse": outputs_coarse, "outputs_fine": None}
@@ -227,4 +287,74 @@ def render_rays(
         )
         pts_fine = z_all[..., None] * ray_d[:, None, :] + ray_batch["ray_o"][:, None, :]
         ret["outputs_fine"] = run_level(pts_fine, z_all, "fine", 1, keys[3])
+    return ret
+
+
+def _render_rays_reuse(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
+                       src_cameras, keys, packed, pts, z_vals):
+    """Coarse+fine rendering with fine-pass tap reuse (unified feature table).
+
+    The fine pass of the reference re-projects and re-gathers ALL
+    n_samples+n_importance merged points (/root/reference/ibrnet/render_ray.py:
+    235-248). Here the coarse taps (rgb, features, ray_diff, mask) are kept,
+    only the n_importance NEW importance samples are gathered, and the merged
+    sample axis is restored with one on-chip permute — the random-row HBM
+    gathers (and their backward scatters, which carry the attack gradient into
+    delta) drop from 2S+2(S+I) to 2S+2I rows per ray: one third fewer at the
+    flagship S=I=64 setting. Both feature heads ride ONE unified table whose
+    2C-channel rows cost the same per-row gather as C-channel rows.
+    """
+    cam = ray_batch["camera"].reshape(-1)[:34]
+    ray_o, ray_d = ray_batch["ray_o"], ray_batch["ray_d"]
+    sl0, sl1 = packed["feat_slices"]
+    fshape = packed["shapes"]["feat_all"]
+
+    rgb_c, feat_c, rd_c, m_c = epipolar_gather_components(
+        pts, cam, src_rgbs, src_cameras, None,
+        stop_camera_grad=cfg.stop_camera_grad,
+        packed_rgb=packed["rgb"], packed_feat=packed["feat_all"],
+        feat_shape=fshape,
+    )
+    rgb_feat_c = jnp.concatenate([rgb_c, feat_c[..., sl0[0]:sl0[1]]], axis=-1)
+    raw_c = _shade_raw(params, model, cfg, rgb_feat_c, rd_c, m_c, pts, ray_d,
+                       "coarse")
+    pmask_c = jnp.sum(m_c[..., 0], axis=0) > 1
+    outputs_coarse = _finalize_level(cfg, raw_c, z_vals, pmask_c, keys[1])
+    ret = {"outputs_coarse": outputs_coarse, "outputs_fine": None}
+
+    weights = jax.lax.stop_gradient(outputs_coarse["weights"])
+    z_all, order, z_new = sample_fine_zvals(
+        z_vals, weights, cfg.n_importance, inv_uniform=cfg.inv_uniform,
+        det=cfg.det, key=keys[2], return_order=True,
+    )
+    pts_new = z_new[..., None] * ray_d[:, None, :] + ray_o[:, None, :]
+    rgb_n, feat_n, rd_n, m_n = epipolar_gather_components(
+        pts_new, cam, src_rgbs, src_cameras, None,
+        stop_camera_grad=cfg.stop_camera_grad,
+        packed_rgb=packed["rgb"], packed_feat=packed["feat_all"],
+        feat_shape=fshape,
+    )
+    # restore sorted-z sample order over the channel-concatenated taps with a
+    # one-hot matmul: a per-ray 128x128 permutation rides the MXU with natural
+    # layouts (take_along_axis lowers to a gather whose forced operand layout
+    # pads these tensors ~200x on TPU) and its backward is a transposed matmul
+    # instead of a scatter
+    dt = rgb_c.dtype
+    comb = jnp.concatenate([
+        jnp.concatenate([rgb_c, feat_c, rd_c.astype(dt), m_c.astype(dt)], axis=-1),
+        jnp.concatenate([rgb_n, feat_n, rd_n.astype(dt), m_n.astype(dt)], axis=-1),
+    ], axis=2)  # [V, R, S+I, 3+C+4+1] in pre-sort [coarse | new] layout
+    perm = jax.nn.one_hot(order, comb.shape[2], dtype=dt)  # [R, S+I, S+I]
+    comb = jnp.einsum("rij,vrjk->vrik", perm, comb)
+    c_all = fshape[-1]
+    rgb_f = comb[..., :3]
+    feat_f = comb[..., 3:3 + c_all]
+    rd_f = comb[..., 3 + c_all:7 + c_all]
+    m_f = comb[..., 7 + c_all:]
+    rgb_feat_f = jnp.concatenate([rgb_f, feat_f[..., sl1[0]:sl1[1]]], axis=-1)
+    pts_fine = z_all[..., None] * ray_d[:, None, :] + ray_o[:, None, :]
+    raw_f = _shade_raw(params, model, cfg, rgb_feat_f, rd_f, m_f, pts_fine,
+                       ray_d, "fine")
+    pmask_f = jnp.sum(m_f[..., 0], axis=0) > 1
+    ret["outputs_fine"] = _finalize_level(cfg, raw_f, z_all, pmask_f, keys[3])
     return ret

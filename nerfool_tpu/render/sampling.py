@@ -90,7 +90,8 @@ def sample_pdf(bins, weights, n_samples, det=True, key=None):
     return bins_below + t * (bins_above - bins_below)
 
 
-def sample_fine_zvals(z_vals, weights, n_importance, inv_uniform=False, det=True, key=None):
+def sample_fine_zvals(z_vals, weights, n_importance, inv_uniform=False, det=True,
+                      key=None, return_order=False):
     """Merge coarse z_vals with importance samples and sort (fine-pass schedule).
 
     Matches the reference's fine-point construction
@@ -98,7 +99,14 @@ def sample_fine_zvals(z_vals, weights, n_importance, inv_uniform=False, det=True
     dropped, optional inverse-depth domain (with bin order flipped so the bins
     are increasing in 1/z), concatenation with the coarse z_vals, and a sort.
 
+    :param return_order: also return the argsort permutation of the
+        [coarse | importance] concatenation and the raw importance samples, so
+        callers can reuse per-sample tensors already computed for the coarse
+        points (order entries < n_samples index coarse positions) instead of
+        re-gathering them.
     :return: z_all [N, n_samples + n_importance] sorted ascending
+             (, order [N, n_samples + n_importance] int32,
+              z_samples [N, n_importance] if return_order)
     """
     w = weights[:, 1:-1]
     if inv_uniform:
@@ -113,4 +121,7 @@ def sample_fine_zvals(z_vals, weights, n_importance, inv_uniform=False, det=True
         z_mid = 0.5 * (z_vals[:, 1:] + z_vals[:, :-1])
         z_samples = sample_pdf(z_mid, w, n_importance, det=det, key=key)
     z_all = jnp.concatenate([z_vals, z_samples], axis=-1)
+    if return_order:
+        order = jnp.argsort(z_all, axis=-1).astype(jnp.int32)
+        return jnp.take_along_axis(z_all, order, axis=-1), order, z_samples
     return jnp.sort(z_all, axis=-1)

@@ -76,3 +76,69 @@ def test_sharded_render_matches_single_device(rng):
         np.asarray(ref["outputs_fine"]["rgb"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_fine_tap_reuse_matches_default_path(rng):
+    """reuse_fine_taps (unified feature table + fine-pass tap reuse) must be a
+    pure optimization: identical renders and attack gradients.
+
+    Exactness shown in float64 elsewhere (machine-eps agreement); in f32 the
+    coarse pass is bit-identical and the fine pass differs only by XLA fusion
+    rounding noise.
+    """
+    import dataclasses
+
+    bundle, batch, cfg, src_rgbs, src_cams, feats, _ = _setup(rng)
+    cfg_r = dataclasses.replace(cfg, reuse_fine_taps=True)
+    src_rgbs = jnp.asarray(src_rgbs)
+    src_cams = jnp.asarray(src_cams)
+    sel = np.arange(0, batch["ray_o"].shape[0], 5)
+    sub = dict(batch, ray_o=batch["ray_o"][sel], ray_d=batch["ray_d"][sel])
+
+    r0 = jax.jit(lambda: render_rays(
+        bundle.render_params, bundle.modules, sub, feats, cfg,
+        src_rgbs=src_rgbs, src_cameras=src_cams))()
+    r1 = jax.jit(lambda: render_rays(
+        bundle.render_params, bundle.modules, sub, feats, cfg_r,
+        src_rgbs=src_rgbs, src_cameras=src_cams))()
+    for lvl in ("outputs_coarse", "outputs_fine"):
+        for k in ("rgb", "depth", "weights"):
+            np.testing.assert_allclose(
+                np.asarray(r0[lvl][k]), np.asarray(r1[lvl][k]),
+                rtol=1e-5, atol=2e-5, err_msg=f"{lvl}/{k}",
+            )
+
+    # the attack gradient (d loss / d source pixels) through the full renderer
+    def loss(c, s):
+        f = bundle.extract_features(s)
+        r = render_rays(bundle.render_params, bundle.modules, sub, f, c,
+                        src_rgbs=s, src_cameras=src_cams)
+        return (jnp.mean(r["outputs_fine"]["rgb"] ** 2)
+                + jnp.mean(r["outputs_coarse"]["rgb"] ** 2))
+
+    g0 = jax.jit(jax.grad(lambda s: loss(cfg, s)))(src_rgbs)
+    g1 = jax.jit(jax.grad(lambda s: loss(cfg_r, s)))(src_rgbs)
+    scale = np.max(np.abs(np.asarray(g0))) + 1e-12
+    assert np.max(np.abs(np.asarray(g0) - np.asarray(g1))) / scale < 1e-4
+
+
+def test_fine_tap_reuse_blocked_render(rng):
+    """Whole-image blocked render agrees between reuse and default paths
+    (unified tables built once outside the block loop)."""
+    import dataclasses
+
+    bundle, batch, cfg, src_rgbs, src_cams, feats, (h, w) = _setup(rng)
+    cfg_r = dataclasses.replace(cfg, reuse_fine_taps=True)
+    out0 = render_single_image(
+        bundle.render_params, bundle.modules, batch, feats, cfg, h, w,
+        src_rgbs, src_cams, chunk_size=128,
+    )
+    out1 = render_single_image(
+        bundle.render_params, bundle.modules, batch, feats, cfg_r, h, w,
+        src_rgbs, src_cams, chunk_size=128,
+    )
+    for lvl in ("outputs_coarse", "outputs_fine"):
+        np.testing.assert_allclose(
+            np.asarray(out0[lvl]["rgb"]), np.asarray(out1[lvl]["rgb"]),
+            rtol=1e-5, atol=2e-5, err_msg=lvl,
+        )
