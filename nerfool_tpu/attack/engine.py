@@ -11,6 +11,7 @@ whole-image renderer; this module is thin host-side control flow.
 """
 from __future__ import annotations
 
+import sys
 import os
 import time
 
@@ -416,6 +417,9 @@ class AdvEvaluator:
 
     def _build_lpips(self):
         if not getattr(self.args, "lpips_weights", ""):
+            print("WARNING: --lpips_weights not set; LPIPS will report 0.0 "
+                  "(export weights with scripts/export_lpips_weights.py)",
+                  file=sys.stderr)
             return None
         import jax.numpy as jnp
 

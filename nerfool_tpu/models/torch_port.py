@@ -197,8 +197,15 @@ def gnt_params_from_torch(sd, trans_depth=8):
 def load_reference_checkpoint(path, backbone="ibrnet", trans_depth=8):
     """Load a reference .pth and return {'feature_net', 'net_coarse', 'net_fine'}
     flax param trees (net_fine may be absent)."""
+    import os
+
     import torch
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint {path!r} not found — download the reference "
+            f"model_*.pth (see README) or pass --ckpt_path '' for random init"
+        )
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     agg_port = (
         ibrnet_params_from_torch
