@@ -30,6 +30,7 @@ N_RAND = int(os.environ.get("BENCH_NRAND", 512))
 ATTACK_ITERS = int(os.environ.get("BENCH_ATTACK_ITERS", 10))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # rendering path; attacks stay f32
 REUSE_TAPS = os.environ.get("BENCH_REUSE_TAPS", "1") == "1"  # fine-pass tap reuse
+USE_PALLAS = os.environ.get("BENCH_USE_PALLAS", "0") == "1"  # fused aggregation kernel
 
 
 def log(*a):
@@ -79,7 +80,7 @@ def main():
         inv_uniform=BACKBONE == "ibrnet", backbone=BACKBONE,
         single_net=BACKBONE == "gnt", ret_alpha=BACKBONE == "gnt",
         stop_camera_grad=BACKBONE == "ibrnet", compute_dtype=DTYPE,
-        reuse_fine_taps=REUSE_TAPS,
+        reuse_fine_taps=REUSE_TAPS, use_pallas=USE_PALLAS,
     )
 
     src_rgbs_j = jnp.asarray(src_rgbs)

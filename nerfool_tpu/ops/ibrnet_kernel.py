@@ -81,7 +81,10 @@ def _kernel(rgb_feat_ref, ray_diff_ref, mask_ref, pos_enc_ref, *refs,
 
     if anti_alias_pooling:
         dot = ray_diff[..., 3:4]
-        exp_dot = jnp.exp(jnp.abs(s_param[0, 0]) * (dot - 1.0))
+        # scalar squeeze of sub-32-bit refs is unsupported in Mosaic: read the
+        # [1,1] param in f32, then cast back to the compute dtype
+        s_val = jnp.abs(s_param.astype(jnp.float32))[0, 0].astype(dot.dtype)
+        exp_dot = jnp.exp(s_val * (dot - 1.0))
         weight = (exp_dot - jnp.min(exp_dot, axis=0, keepdims=True)) * mask
     else:
         weight = mask
@@ -125,7 +128,9 @@ def _kernel(rgb_feat_ref, ray_diff_ref, mask_ref, pos_enc_ref, *refs,
     attn = jnp.einsum("bqd,bkd->bqk", q / 2.0, k,
                       preferred_element_type=jnp.float32)  # [R*4, S, S]
     attn_mask = (num_valid > 1).astype(gfeat.dtype)  # [R,S,1]
-    am = jnp.broadcast_to(attn_mask[:, None, :, 0], (r, 4, s)).reshape(r * 4, s)
+    # reshape+broadcast instead of fancy indexing (Mosaic supports only 2-D
+    # gathers; [:, None, :, 0] would lower to a 3-D gather)
+    am = jnp.broadcast_to(attn_mask.reshape(r, 1, s), (r, 4, s)).reshape(r * 4, s)
     attn = jnp.where(am[..., None] == 0, -1e9, attn)  # mask query rows
     attn = jax.nn.softmax(attn, axis=-1)
     av = jnp.einsum("bqk,bkd->bqd", attn, vv,
