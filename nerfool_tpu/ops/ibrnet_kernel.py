@@ -116,26 +116,31 @@ def _kernel(rgb_feat_ref, ray_diff_ref, mask_ref, pos_enc_ref, *refs,
     num_valid = jnp.sum(mask, axis=0)  # [R, S, 1]
     gfeat = gfeat + pos_enc_ref[:]  # [S,16] broadcast over R
 
-    # 4-head self-attention along the sample axis (d_model 16, d_k = d_v = 4);
-    # ray and head batch dims merged — Mosaic matmuls support one batch dim
-    def heads(x2, w):  # [R,S,16] @ [16,16] -> [R*4, S, 4]
-        y = dense(x2, w, jnp.zeros((w.shape[-1],), x2.dtype))
-        return y.reshape(r, s, 4, 4).transpose(0, 2, 1, 3).reshape(r * 4, s, 4)
-
-    q = heads(gfeat, wq)
-    k = heads(gfeat, wk)
-    vv = heads(gfeat, wv)
-    attn = jnp.einsum("bqd,bkd->bqk", q / 2.0, k,
-                      preferred_element_type=jnp.float32)  # [R*4, S, S]
+    # 4-head self-attention along the sample axis (d_model 16, d_k = d_v = 4),
+    # unrolled per head as column-sliced matmuls: Mosaic's layout inference
+    # rejects the [R,S,16]->[R*4,S,4] head transpose, and dot_general supports
+    # one batch dim (rays) directly
     attn_mask = (num_valid > 1).astype(gfeat.dtype)  # [R,S,1]
-    # reshape+broadcast instead of fancy indexing (Mosaic supports only 2-D
-    # gathers; [:, None, :, 0] would lower to a 3-D gather)
-    am = jnp.broadcast_to(attn_mask.reshape(r, 1, s), (r, 4, s)).reshape(r * 4, s)
-    attn = jnp.where(am[..., None] == 0, -1e9, attn)  # mask query rows
-    attn = jax.nn.softmax(attn, axis=-1)
-    av = jnp.einsum("bqk,bkd->bqd", attn, vv,
-                    preferred_element_type=jnp.float32)
-    av = av.reshape(r, 4, s, 4).transpose(0, 2, 1, 3).reshape(r, s, 16)
+    am = jnp.broadcast_to(attn_mask.reshape(r, s, 1), (r, s, s))
+    q_all = dense(gfeat, wq, jnp.zeros((16,), gfeat.dtype))
+    k_all = dense(gfeat, wk, jnp.zeros((16,), gfeat.dtype))
+    v_all = dense(gfeat, wv, jnp.zeros((16,), gfeat.dtype))
+    head_outs = []
+    for hh in range(4):
+        sl = slice(hh * 4, (hh + 1) * 4)
+        attn = jax.lax.dot_general(
+            q_all[..., sl] / 2.0, k_all[..., sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [R, S, S]
+        attn = jnp.where(am == 0, -1e9, attn)  # mask query rows
+        attn = jax.nn.softmax(attn, axis=-1).astype(gfeat.dtype)
+        head_outs.append(jax.lax.dot_general(
+            attn, v_all[..., sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))  # [R, S, 4]
+    av = jnp.concatenate(head_outs, axis=-1).astype(gfeat.dtype)
     av = dense(av, wo, jnp.zeros((16,), av.dtype)) + gfeat
     m = jnp.mean(av, axis=-1, keepdims=True)
     var_ln = jnp.mean((av - m) ** 2, axis=-1, keepdims=True)
