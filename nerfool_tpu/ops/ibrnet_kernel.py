@@ -54,17 +54,20 @@ def _elu(x):
 
 def _kernel(rgb_feat_ref, ray_diff_ref, mask_ref, pos_enc_ref, *refs,
             out_ref, anti_alias_pooling):
-    # unpack weight refs in _flatten_params order
-    ws = [r[:] for r in refs]
+    # unpack weight refs in _flatten_params order; compute in f32 throughout —
+    # the block is VMEM-resident so the cast is free of HBM traffic, and the
+    # target VPU rejects sub-32-bit comparisons/selects (bf16 stays the wire
+    # format of the inputs and output)
+    ws = [r[:].astype(jnp.float32) for r in refs]
     (rd0_w, rd0_b, rd1_w, rd1_b, b0_w, b0_b, b1_w, b1_b,
      v0_w, v0_b, v1_w, v1_b, v20_w, v20_b, v21_w, v21_b,
      g0_w, g0_b, g1_w, g1_b, og0_w, og0_b, og1_w, og1_b,
      r0_w, r0_b, r1_w, r1_b, r2_w, r2_b,
      wq, wk, wv, wo, ln_scale, ln_bias, s_param) = ws
 
-    rgb_feat = rgb_feat_ref[:]  # [V, R, S, C]
-    ray_diff = ray_diff_ref[:]  # [V, R, S, 4]
-    mask = mask_ref[:]  # [V, R, S, 1]
+    rgb_feat = rgb_feat_ref[:].astype(jnp.float32)  # [V, R, S, C]
+    ray_diff = ray_diff_ref[:].astype(jnp.float32)  # [V, R, S, 4]
+    mask = mask_ref[:].astype(jnp.float32)  # [V, R, S, 1]
     v, r, s, c = rgb_feat.shape
 
     def dense(x, w, b):
@@ -198,6 +201,13 @@ def ibrnet_aggregate_pallas(params, rgb_feat, ray_diff, mask,
         *ins, out_ref = args
         kernel(*ins, out_ref=out_ref)
 
+    kwargs = {}
+    if not interpret:
+        # f32 intermediates for a [V, ray_block, S, C] block overflow the
+        # default 16M scoped-vmem stack; v5e has 128M VMEM per core
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     return pl.pallas_call(
         wrapped,
         out_shape=jax.ShapeDtypeStruct((r, s, 4), rgb_feat.dtype),
@@ -205,4 +215,5 @@ def ibrnet_aggregate_pallas(params, rgb_feat, ray_diff, mask,
         in_specs=in_specs,
         out_specs=out_spec,
         interpret=interpret,
+        **kwargs,
     )(rgb_feat, ray_diff, mask, pos_enc, *flat)
