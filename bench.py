@@ -146,7 +146,10 @@ def main():
 
     # ---- attack step benchmark (f32 render config: the parity path)
     import dataclasses
-    attack_render_cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    # f32 parity path; the pallas kernel is forward-only (no VJP) so the
+    # attack's differentiated render always uses the XLA implementation
+    attack_render_cfg = dataclasses.replace(cfg, compute_dtype="float32",
+                                            use_pallas=False)
     acfg = AttackConfig(h=H, w=W, n_rand=N_RAND, use_adam=True, adam_lr=1e-3,
                         epsilon=8.0)
     target = {
