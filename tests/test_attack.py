@@ -316,3 +316,33 @@ def test_ds_rgb_depth_consistency_runs(rng):
     state = init_attack_state(jax.random.PRNGKey(1), cfg, src["rgbs"])
     state, aux = step(state, target, src, jax.random.PRNGKey(7))
     assert np.isfinite(float(aux["loss"])) and "depth_cons" in aux
+
+
+def test_bf16_attack_gradient_direction(rng):
+    """A bf16-render attack step must produce gradients aligned with the f32
+    parity path (sign agreement is what PGD/Adam consume)."""
+    import dataclasses
+
+    bundle, render_cfg, cfg, target, src = _attack_setup(rng, n_rand=H * W)
+    cfg_bf = dataclasses.replace(render_cfg, compute_dtype="bfloat16")
+    k = jax.random.PRNGKey(5)
+    grads = []
+    for rc in (render_cfg, cfg_bf):
+        step = jax.jit(make_attack_step(bundle, rc, cfg))
+        state0 = init_attack_state(jax.random.PRNGKey(1), cfg, src["rgbs"])
+        _, aux = step(state0, target, src, k)
+        assert np.isfinite(float(aux["loss"]))
+        grads.append(np.asarray(aux["grad"]).reshape(-1)
+                     if "grad" in aux else None)
+    if grads[0] is None:  # step doesn't expose grads: compare delta updates
+        steps = []
+        for rc in (render_cfg, cfg_bf):
+            step = jax.jit(make_attack_step(bundle, rc, cfg))
+            state0 = init_attack_state(jax.random.PRNGKey(1), cfg, src["rgbs"])
+            state1, _ = step(state0, target, src, k)
+            steps.append(np.asarray(state1["delta"] - state0["delta"]).reshape(-1))
+        g0, g1 = steps
+    else:
+        g0, g1 = grads
+    cos = float(np.dot(g0, g1) / (np.linalg.norm(g0) * np.linalg.norm(g1) + 1e-12))
+    assert cos > 0.95, cos

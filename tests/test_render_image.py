@@ -142,3 +142,27 @@ def test_fine_tap_reuse_blocked_render(rng):
             np.asarray(out0[lvl]["rgb"]), np.asarray(out1[lvl]["rgb"]),
             rtol=1e-5, atol=2e-5, err_msg=lvl,
         )
+
+
+def test_bf16_compute_dtype_close_to_f32(rng):
+    """The bf16 aggregation path (bench default for rendering) must stay close
+    to the f32 render: same geometry, reduced-precision shading."""
+    import dataclasses
+
+    bundle, batch, cfg, src_rgbs, src_cams, feats, _ = _setup(rng)
+    sel = np.arange(0, batch["ray_o"].shape[0], 5)
+    sub = dict(batch, ray_o=batch["ray_o"][sel], ray_d=batch["ray_d"][sel])
+    cfg_bf = dataclasses.replace(cfg, compute_dtype="bfloat16",
+                                 reuse_fine_taps=True)
+    r0 = jax.jit(lambda: render_rays(
+        bundle.render_params, bundle.modules, sub, feats, cfg,
+        src_rgbs=jnp.asarray(src_rgbs), src_cameras=jnp.asarray(src_cams)))()
+    r1 = jax.jit(lambda: render_rays(
+        bundle.render_params, bundle.modules, sub, feats, cfg_bf,
+        src_rgbs=jnp.asarray(src_rgbs), src_cameras=jnp.asarray(src_cams)))()
+    for lvl in ("outputs_coarse", "outputs_fine"):
+        a = np.asarray(r0[lvl]["rgb"], np.float32)
+        b = np.asarray(r1[lvl]["rgb"], np.float32)
+        assert b.dtype == np.float32  # outputs come back f32
+        err = np.abs(a - b).max()
+        assert err < 0.05, (lvl, err)  # bf16 mantissa ~3 decimal digits
