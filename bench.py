@@ -28,7 +28,8 @@ N_IMPORTANCE = int(os.environ.get("BENCH_NIMPORTANCE", 64))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 4096))
 N_RAND = int(os.environ.get("BENCH_NRAND", 512))
 ATTACK_ITERS = int(os.environ.get("BENCH_ATTACK_ITERS", 10))
-DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # rendering path; attacks stay f32
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # rendering path
+ATTACK_DTYPE = os.environ.get("BENCH_ATTACK_DTYPE", "float32")  # parity default
 REUSE_TAPS = os.environ.get("BENCH_REUSE_TAPS", "1") == "1"  # fine-pass tap reuse
 USE_PALLAS = os.environ.get("BENCH_USE_PALLAS", "0") == "1"  # fused aggregation kernel
 
@@ -146,9 +147,9 @@ def main():
 
     # ---- attack step benchmark (f32 render config: the parity path)
     import dataclasses
-    # f32 parity path; the pallas kernel is forward-only (no VJP) so the
-    # attack's differentiated render always uses the XLA implementation
-    attack_render_cfg = dataclasses.replace(cfg, compute_dtype="float32",
+    # f32 is the parity default; the pallas kernel is forward-only (no VJP) so
+    # the attack's differentiated render always uses the XLA implementation
+    attack_render_cfg = dataclasses.replace(cfg, compute_dtype=ATTACK_DTYPE,
                                             use_pallas=False)
     acfg = AttackConfig(h=H, w=W, n_rand=N_RAND, use_adam=True, adam_lr=1e-3,
                         epsilon=8.0)
