@@ -222,4 +222,6 @@ def config_parser():
                         help="path to LPIPS VGG weights (.npz); LPIPS skipped if empty")
     parser.add_argument("--out_dir", type=str, default="out")
     parser.add_argument("--video_fps", type=int, default=30)
+    parser.add_argument("--video_frames", type=int, default=120,
+                        help="cap on spiral frames to render")
     return parser

@@ -15,6 +15,8 @@ from nerfool_tpu.config import config_parser
 
 def main():
     args = config_parser().parse_args()
+    args.det = True  # deterministic sampling, as the reference video renderer
+    # (render_llff_video.py:172) hard-codes
 
     import imageio.v2 as imageio
     import jax
@@ -36,7 +38,8 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     frames = []
     crop = 32  # boundary crop as in the reference (render_llff_video.py)
-    for i in range(len(dataset)):
+    n_frames = min(len(dataset), args.video_frames)
+    for i in range(n_frames):
         t0 = time.time()
         data = dataset[i]
         h, w = int(data["camera"][0]), int(data["camera"][1])
@@ -59,15 +62,20 @@ def main():
         )
         level = "outputs_fine" if ret["outputs_fine"] is not None else "outputs_coarse"
         frame = to8b(np.asarray(ret[level]["rgb"]))
-        frame = frame[crop:-crop, crop:-crop]
+        if frame.shape[0] > 2 * crop and frame.shape[1] > 2 * crop:
+            frame = frame[crop:-crop, crop:-crop]
         frames.append(frame)
-        print(f"frame {i+1}/{len(dataset)}: {time.time()-t0:.2f}s", flush=True)
+        print(f"frame {i+1}/{n_frames}: {time.time()-t0:.2f}s", flush=True)
         imageio.imwrite(os.path.join(out_dir, f"{i:03d}.png"), frame)
 
-    imageio.mimwrite(
-        os.path.join(out_dir, f"{scene}.mp4"), frames, fps=args.video_fps, quality=8
-    )
-    print(f"wrote {out_dir}/{scene}.mp4")
+    try:
+        imageio.mimwrite(
+            os.path.join(out_dir, f"{scene}.mp4"), frames, fps=args.video_fps,
+            quality=8,
+        )
+        print(f"wrote {out_dir}/{scene}.mp4")
+    except Exception as e:  # no ffmpeg backend: the PNG sequence is the output
+        print(f"mp4 write unavailable ({e}); kept PNG frame sequence in {out_dir}")
 
 
 if __name__ == "__main__":

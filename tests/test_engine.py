@@ -135,3 +135,28 @@ def test_gnt_view_specific_end_to_end(tmp_path, small_kwargs):
     results = ev.evaluate(out_dir=None, save_images=False, verbose=False,
                           max_views=1)
     assert np.isfinite(results[args.eval_dataset]["coarse_mean_psnr"])
+
+
+def test_render_video_script_smoke(tmp_path):
+    """scripts/render_video.py end-to-end over a generated LLFF scene:
+    spiral poses -> whole-frame renders -> frame PNGs (mp4 gated on ffmpeg)."""
+    import subprocess
+    import sys as _sys
+
+    from test_data import _write_llff_scene
+
+    _write_llff_scene(str(tmp_path))
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "render_video.py"),
+         "--rootdir", str(tmp_path), "--llff_factor", "1",
+         "--eval_scenes", "testscene", "--eval_dataset", "llff_test",
+         "--N_samples", "4", "--N_importance", "0", "--chunk_size", "1920",
+         "--num_source_views", "3", "--video_frames", "1",
+         "--expname", "vidsmoke"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = tmp_path / "llff_test" / "vidsmoke_video" / "testscene"
+    assert (out / "000.png").exists(), proc.stdout[-2000:]
