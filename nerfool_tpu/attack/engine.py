@@ -319,7 +319,9 @@ class AdvEvaluator:
         lpips_fn = self._build_lpips()
         scene = args.eval_scenes[0] if args.eval_scenes else args.eval_dataset
         if out_dir:
-            os.makedirs(out_dir, exist_ok=True)
+            from nerfool_tpu.utils.logging import save_run_config
+
+            save_run_config(out_dir, args)  # args.txt + config.txt snapshot
 
         delta = src_glb = cams_glb = None
         if not args.no_attack and not args.view_specific:

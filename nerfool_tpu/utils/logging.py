@@ -47,8 +47,16 @@ class ScalarLogger:
 
 
 def save_run_config(out_dir, args):
-    """Snapshot the resolved flags (reference train.py:55-65 args.txt)."""
+    """Snapshot the resolved flags and the config file
+    (reference train.py:55-65: args.txt + config.txt)."""
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "args.txt"), "w") as f:
         for k in sorted(vars(args)):
             f.write(f"{k} = {getattr(args, k)}\n")
+    cfg = getattr(args, "config", None)
+    if cfg and os.path.isfile(cfg):
+        import shutil
+
+        dst = os.path.join(out_dir, "config.txt")
+        if not os.path.exists(dst):
+            shutil.copy(cfg, dst)

@@ -44,6 +44,9 @@ def main():
         epsilon=float(args.epsilon), adv_lr=args.adv_lr,
     )
     out_dir = os.path.join(args.out_dir, args.expname)
+    from nerfool_tpu.utils.logging import save_run_config
+
+    save_run_config(out_dir, args)
     trainer = Trainer(bundle, render_cfg, cfg, out_dir=out_dir)
     if not args.no_reload:
         start = trainer.load_latest(load_opt=not args.no_load_opt)
