@@ -119,9 +119,11 @@ def main():
                 jnp.pad(b["ray_o"], ((0, (-n) % seg), (0, 0)), mode="edge"), i, seg)
             sub["ray_d"] = jax.lax.dynamic_slice_in_dim(
                 jnp.pad(b["ray_d"], ((0, (-n) % seg), (0, 0)), mode="edge"), i, seg)
-            outs.append(_render_blocked_jit(
+            ret = _render_blocked_jit(
                 p, bundle.modules, sub, f, cfg, sr, sc, CHUNK, None, None
-            )["outputs_fine"]["rgb"])
+            )
+            lvl = "outputs_fine" if ret["outputs_fine"] is not None else "outputs_coarse"
+            outs.append(ret[lvl]["rgb"])
         return jnp.concatenate(outs, axis=0)[:n]
     def force(x):
         # on the axon relay platform block_until_ready does not wait for remote
