@@ -30,6 +30,7 @@ N_RAND = int(os.environ.get("BENCH_NRAND", 512))
 ATTACK_ITERS = int(os.environ.get("BENCH_ATTACK_ITERS", 10))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # rendering path
 ATTACK_DTYPE = os.environ.get("BENCH_ATTACK_DTYPE", "float32")  # parity default
+FEATURE_DTYPE = os.environ.get("BENCH_FEATURE_DTYPE", "float32")  # ResUNet convs
 REUSE_TAPS = os.environ.get("BENCH_REUSE_TAPS", "1") == "1"  # fine-pass tap reuse
 USE_PALLAS = os.environ.get("BENCH_USE_PALLAS", "0") == "1"  # fused aggregation kernel
 
@@ -75,7 +76,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
     bundle = create_model(backbone=BACKBONE, rng_key=jax.random.PRNGKey(0),
-                          trans_depth=8, single_net=True)
+                          trans_depth=8, single_net=True,
+                          feature_dtype=FEATURE_DTYPE)
     cfg = RenderConfig(
         n_samples=N_SAMPLES, n_importance=N_IMPORTANCE, det=True,
         inv_uniform=BACKBONE == "ibrnet", backbone=BACKBONE,
@@ -177,6 +179,45 @@ def main():
     attack_ips = 1.0 / attack_s
     log(f"attack: {attack_s*1e3:.1f} ms/iter -> {attack_ips:.2f} iters/s "
         f"(1000-iter attack in {1000*attack_s:.0f}s)")
+
+    if os.environ.get("BENCH_BREAKDOWN", "0") == "1":
+        # isolate the attack step's cost components (all timings best-of-3)
+        def timeit(fn, *a):
+            fn(*a)  # compile
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(*a)
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        feat_p = bundle.params["feature_net"]
+        fwd = jax.jit(lambda p, x: jnp.sum(
+            bundle.feature_net.apply({"params": p}, x)[0]))
+        log(f"breakdown/feature fwd: "
+            f"{timeit(lambda *_: force(fwd(feat_p, src_rgbs_j)))*1e3:.0f} ms")
+        fwdbwd = jax.jit(jax.grad(
+            lambda x: jnp.sum(jax.checkpoint(
+                lambda xx: bundle.feature_net.apply({"params": feat_p}, xx)[0]
+            )(x))))
+        log(f"breakdown/feature fwd+bwd (remat): "
+            f"{timeit(lambda *_: force(fwdbwd(src_rgbs_j)))*1e3:.0f} ms")
+
+        # render N_RAND rays fwd+bwd w.r.t. featmaps (attack render share)
+        feats_f32 = extract(bundle.params["feature_net"], src_rgbs_j)
+        sel = jnp.arange(N_RAND) * (n_rays // N_RAND)
+        def render_loss(f):
+            b = {"ray_o": batch["ray_o"][sel], "ray_d": batch["ray_d"][sel],
+                 "depth_range": batch["depth_range"], "camera": batch["camera"]}
+            from nerfool_tpu.render.render_rays import render_rays
+            ret = render_rays(bundle.render_params, bundle.modules, b, f,
+                              attack_render_cfg, src_rgbs=src_rgbs_j,
+                              src_cameras=src_cams_j, key=None)
+            lvl = ret["outputs_fine"] or ret["outputs_coarse"]
+            return jnp.mean(lvl["rgb"] ** 2)
+        rgrad = jax.jit(jax.grad(render_loss))
+        log(f"breakdown/render {N_RAND} rays fwd+bwd (vs featmaps): "
+            f"{timeit(lambda *_: force(rgrad(feats_f32)[0]))*1e3:.0f} ms")
 
     print(json.dumps({
         "metric": "clean_render_rays_per_sec_per_chip",

@@ -112,6 +112,17 @@ def config_parser():
     parser.add_argument("--rectify_inplane_rotation", action="store_true")
     parser.add_argument("--coarse_only", action="store_true")
     parser.add_argument("--anti_alias_pooling", type=int, default=1)
+    # TPU-native knobs (no reference counterpart): computation dtypes.
+    # compute_dtype drives the aggregation/render path (RenderConfig).
+    # feature_dtype=bfloat16 runs the ResUNet conv stack in bf16 (f32
+    # InstanceNorm statistics, f32 featmap outputs). EXPERIMENTAL: the
+    # InstanceNorm-heavy ResUNet amplifies input-scale noise, so bf16 features
+    # can drift from the f32 parity path depending on checkpoint smoothness —
+    # validate attacked-PSNR against f32 before trusting it (BENCH_NOTES.md).
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--feature_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
     # gnt-specific
     parser.add_argument("--netwidth", type=int, default=64)
     parser.add_argument("--trans_depth", type=int, default=4)

@@ -84,6 +84,7 @@ def create_model(
     rng_key: Optional[jax.Array] = None,
     init_shapes=(4, 64, 64),
     remat_features: bool = True,
+    feature_dtype: Optional[str] = None,
 ) -> ModelBundle:
     """Build modules and either import a reference .pth or random-init params.
 
@@ -103,12 +104,14 @@ def create_model(
         if backbone == "gnt":
             single_net = getattr(args, "single_net", single_net)
         ckpt_path = getattr(args, "ckpt_path", ckpt_path) or ckpt_path
+        feature_dtype = getattr(args, "feature_dtype", feature_dtype) or feature_dtype
 
     feature_net = ResUNet(
         coarse_out_ch=coarse_feat_dim,
         fine_out_ch=fine_feat_dim,
         coarse_only=coarse_only,
         single_net=single_net,
+        compute_dtype=None if feature_dtype in (None, "", "float32") else feature_dtype,
     )
     if backbone == "ibrnet":
         net_coarse = IBRNetAggregator(
@@ -192,7 +195,7 @@ def default_render_config(args=None, backbone="ibrnet", **overrides) -> RenderCo
             inv_uniform="inv_uniform", det="det", white_bkgd="white_bkgd",
             ret_alpha="ret_alpha", geo_noise="geo_noise",
             use_clean_color="use_clean_color", use_clean_density="use_clean_density",
-            reuse_fine_taps="reuse_fine_taps",
+            reuse_fine_taps="reuse_fine_taps", compute_dtype="compute_dtype",
         )
         if backbone == "gnt":
             mapping["single_net"] = "single_net"

@@ -7,20 +7,25 @@ numerically faithful, while keeping everything channels-last for the TPU.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 
 class ConvReflect(nn.Module):
-    """2D conv with reflect padding, matching nn.Conv2d(padding_mode='reflect')."""
+    """2D conv with reflect padding, matching nn.Conv2d(padding_mode='reflect').
+
+    ``dtype`` is the computation dtype (params stay float32; flax casts both
+    operands for the conv) — bf16 here runs the MXU at double rate.
+    """
 
     features: int
     kernel_size: int
     stride: int = 1
     padding: int | None = None  # defaults to (k-1)//2
     use_bias: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):  # x: [N, H, W, C]
@@ -33,23 +38,30 @@ class ConvReflect(nn.Module):
             strides=(self.stride, self.stride),
             padding="VALID",
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="conv",
         )(x)
 
 
 class InstanceNorm(nn.Module):
-    """InstanceNorm2d(affine=True, track_running_stats=False), eps matches torch."""
+    """InstanceNorm2d(affine=True, track_running_stats=False), eps matches torch.
+
+    Per-instance statistics are always accumulated in float32 — at bf16 a mean
+    over H*W ~ 2e5 pixels loses the signal — and the normalized result is cast
+    back to the input dtype.
+    """
 
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):  # [N, H, W, C]
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) / jnp.sqrt(var + self.eps)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        y = (x32 - mean) / jnp.sqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return y * scale + bias
+        return (y * scale + bias).astype(x.dtype)
 
 
 def upsample_bilinear_aligned(x, scale: int):
@@ -62,17 +74,19 @@ def upsample_bilinear_aligned(x, scale: int):
     oh, ow = h * scale, w * scale
 
     def axis_coords(out_len, in_len):
+        # coordinate math in f32 (bf16 pixel fractions drift at image sizes);
+        # only the final lerp weight is cast to the compute dtype
         if out_len == 1 or in_len == 1:
             return (
                 jnp.zeros((out_len,), jnp.int32),
                 jnp.zeros((out_len,), jnp.int32),
                 jnp.zeros((out_len,), x.dtype),
             )
-        f = jnp.arange(out_len, dtype=x.dtype) * ((in_len - 1) / (out_len - 1))
+        f = jnp.arange(out_len, dtype=jnp.float32) * ((in_len - 1) / (out_len - 1))
         i0 = jnp.floor(f).astype(jnp.int32)
         i0 = jnp.clip(i0, 0, in_len - 2)
-        t = f - i0.astype(x.dtype)
-        return i0, i0 + 1, t
+        t = f - i0.astype(jnp.float32)
+        return i0, i0 + 1, t.astype(x.dtype)
 
     y0, y1, ty = axis_coords(oh, h)
     x0, x1, tx = axis_coords(ow, w)

@@ -13,6 +13,8 @@ needed activation checkpointing on GPU for the same reason,
 """
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -27,19 +29,21 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = ConvReflect(self.planes, 3, self.stride, name="conv1")(x)
+        out = ConvReflect(self.planes, 3, self.stride, dtype=self.dtype, name="conv1")(x)
         out = InstanceNorm(name="bn1")(out)
         out = nn.relu(out)
-        out = ConvReflect(self.planes, 3, 1, name="conv2")(out)
+        out = ConvReflect(self.planes, 3, 1, dtype=self.dtype, name="conv2")(out)
         out = InstanceNorm(name="bn2")(out)
         if self.downsample:
             identity = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
-                padding="VALID", use_bias=False, name="downsample_conv",
+                padding="VALID", use_bias=False, dtype=self.dtype,
+                name="downsample_conv",
             )(x)
             identity = InstanceNorm(name="downsample_norm")(identity)
         return nn.relu(out + identity)
@@ -47,21 +51,25 @@ class BasicBlock(nn.Module):
 
 class UpConv(nn.Module):
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         x = upsample_bilinear_aligned(x, 2)
-        x = ConvReflect(self.features, 3, 1, use_bias=True, name="conv")(x)
+        x = ConvReflect(self.features, 3, 1, use_bias=True, dtype=self.dtype,
+                        name="conv")(x)
         x = InstanceNorm(name="bn")(x)
         return nn.elu(x)
 
 
 class IConv(nn.Module):
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = ConvReflect(self.features, 3, 1, use_bias=True, name="conv")(x)
+        x = ConvReflect(self.features, 3, 1, use_bias=True, dtype=self.dtype,
+                        name="conv")(x)
         x = InstanceNorm(name="bn")(x)
         return nn.elu(x)
 
@@ -86,6 +94,11 @@ class ResUNet(nn.Module):
     fine_out_ch: int = 32
     coarse_only: bool = False
     single_net: bool = False  # GNT variant: fine == coarse (gnt/feature_network.py:313-318)
+    # computation dtype for the conv stack (params stay f32; InstanceNorm
+    # statistics stay f32; outputs are cast back to f32 so downstream gather
+    # tables — and the attack's backward scatter — keep full precision).
+    # bf16 doubles MXU rate on the attack's per-iteration full-res fwd+bwd.
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -100,29 +113,35 @@ class ResUNet(nn.Module):
             fine_ch = 0 if self.coarse_only else self.fine_out_ch
             out_ch = self.coarse_out_ch + fine_ch
 
-        x = ConvReflect(64, 7, 2, padding=3, name="conv1")(x)
+        dt = self.compute_dtype
+        if dt is not None:
+            x = x.astype(dt)
+        x = ConvReflect(64, 7, 2, padding=3, dtype=dt, name="conv1")(x)
         x = InstanceNorm(name="bn1")(x)
         x = nn.relu(x)
 
         def stage(x, planes, blocks, name):
-            x = BasicBlock(planes, stride=2, downsample=True, name=f"{name}_0")(x)
+            x = BasicBlock(planes, stride=2, downsample=True, dtype=dt,
+                           name=f"{name}_0")(x)
             for i in range(1, blocks):
-                x = BasicBlock(planes, name=f"{name}_{i}")(x)
+                x = BasicBlock(planes, dtype=dt, name=f"{name}_{i}")(x)
             return x
 
         x1 = stage(x, 64, 3, "layer1")
         x2 = stage(x1, 128, 4, "layer2")
         x3 = stage(x2, 256, 6, "layer3")
 
-        u = UpConv(128, name="upconv3")(x3)
+        u = UpConv(128, dtype=dt, name="upconv3")(x3)
         u = _skip_concat(u, x2)
-        u = IConv(128, name="iconv3")(u)
+        u = IConv(128, dtype=dt, name="iconv3")(u)
 
-        u = UpConv(64, name="upconv2")(u)
+        u = UpConv(64, dtype=dt, name="upconv2")(u)
         u = _skip_concat(u, x1)
-        u = IConv(out_ch, name="iconv2")(u)
+        u = IConv(out_ch, dtype=dt, name="iconv2")(u)
 
-        out = nn.Conv(out_ch, (1, 1), use_bias=True, name="out_conv")(u)
+        out = nn.Conv(out_ch, (1, 1), use_bias=True, dtype=dt, name="out_conv")(u)
+        if dt is not None:
+            out = out.astype(jnp.float32)
 
         if self.coarse_only:
             return out, None

@@ -60,3 +60,24 @@ def save_run_config(out_dir, args):
         dst = os.path.join(out_dir, "config.txt")
         if not os.path.exists(dst):
             shutil.copy(cfg, dst)
+
+
+def save_code_snapshot(out_dir):
+    """Zip the framework source into the run directory so results stay
+    reproducible (reference save_current_code, utils.py:38-45, which copies
+    the source tree into out/<expname>/code/)."""
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    dst = os.path.join(out_dir, "code_snapshot.zip")
+    os.makedirs(out_dir, exist_ok=True)
+    with zipfile.ZipFile(dst, "w", zipfile.ZIP_DEFLATED) as z:
+        for sub in ("nerfool_tpu", "scripts", "configs"):
+            top = os.path.join(root, sub)
+            for dirpath, dirnames, filenames in os.walk(top):
+                dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+                for fn in filenames:
+                    if fn.endswith((".py", ".txt", ".sh")):
+                        p = os.path.join(dirpath, fn)
+                        z.write(p, os.path.relpath(p, root))
+    return dst

@@ -44,9 +44,10 @@ def main():
         epsilon=float(args.epsilon), adv_lr=args.adv_lr,
     )
     out_dir = os.path.join(args.out_dir, args.expname)
-    from nerfool_tpu.utils.logging import save_run_config
+    from nerfool_tpu.utils.logging import save_code_snapshot, save_run_config
 
     save_run_config(out_dir, args)
+    save_code_snapshot(out_dir)
     trainer = Trainer(bundle, render_cfg, cfg, out_dir=out_dir)
     if not args.no_reload:
         start = trainer.load_latest(load_opt=not args.no_load_opt)

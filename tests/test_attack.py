@@ -346,3 +346,48 @@ def test_bf16_attack_gradient_direction(rng):
         g0, g1 = grads
     cos = float(np.dot(g0, g1) / (np.linalg.norm(g0) * np.linalg.norm(g1) + 1e-12))
     assert cos > 0.95, cos
+
+
+def test_bf16_feature_dtype_runs_and_matches_noise_floor(rng):
+    """feature_dtype='bfloat16' (experimental speed knob) must run finite end
+    to end.  Numerical parity with f32 is NOT asserted: a random-init ResUNet
+    is chaotic — a 1e-5 input perturbation in pure f32 already decorrelates the
+    featmaps (16 InstanceNorm+residual blocks amplify any noise ~1.6x/block) —
+    so random-weight bf16-vs-f32 comparisons measure the net's intrinsic input
+    sensitivity, not the precision scheme.  What IS asserted: the bf16 path's
+    deviation stays within the net's own f32 input-noise envelope (i.e. the
+    implementation adds no error beyond intrinsic sensitivity), and the attack
+    step stays finite and inside the eps ball."""
+    target_cam, src_rgbs, src_cams, _, depth_range = synthetic_scene(
+        rng, n_src=3, h=H, w=W)
+    b32 = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(11))
+    bbf = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(11),
+                       feature_dtype="bfloat16")
+    x = jnp.asarray(src_rgbs)
+    f32c, _ = b32.extract_features(x)
+    fbfc, _ = bbf.extract_features(x)
+    assert fbfc.dtype == jnp.float32  # featmaps come back f32 for the tables
+    assert bool(jnp.all(jnp.isfinite(fbfc)))
+    # intrinsic-sensitivity envelope: f32 forward under tiny input noise
+    xn = x + 2e-3 * jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    fnc, _ = b32.extract_features(xn)
+    env = float(jnp.max(jnp.abs(f32c - fnc)))
+    err = float(jnp.max(jnp.abs(f32c - fbfc)))
+    assert err < 3.0 * max(env, 1e-3), (err, env)
+
+    render_cfg = RenderConfig(n_samples=12, n_importance=0, det=True,
+                              backbone="ibrnet")
+    cfg = AttackConfig(h=H, w=W, n_rand=32, adv_iters=1, use_adam=True,
+                       adam_lr=1e-3)
+    target = {
+        "camera": jnp.asarray(target_cam),
+        "rgb": jnp.asarray(rng.rand(H * W, 3).astype(np.float32)),
+        "depth": None,
+        "depth_range": jnp.asarray(depth_range),
+    }
+    src = {"rgbs": x, "cameras": jnp.asarray(src_cams), "featmaps_clean": None}
+    step = jax.jit(make_attack_step(bbf, render_cfg, cfg))
+    state0 = init_attack_state(jax.random.PRNGKey(1), cfg, x)
+    state1, aux = step(state0, target, src, jax.random.PRNGKey(5))
+    assert np.isfinite(float(aux["loss"]))
+    assert float(jnp.max(jnp.abs(state1["delta"]))) <= cfg.eps + 1e-6

@@ -160,3 +160,18 @@ def test_render_video_script_smoke(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = tmp_path / "llff_test" / "vidsmoke_video" / "testscene"
     assert (out / "000.png").exists(), proc.stdout[-2000:]
+
+
+def test_code_snapshot(tmp_path):
+    """save_code_snapshot zips the framework source into the run dir
+    (reference save_current_code, utils.py:38-45)."""
+    import zipfile
+
+    from nerfool_tpu.utils.logging import save_code_snapshot
+
+    dst = save_code_snapshot(str(tmp_path))
+    with zipfile.ZipFile(dst) as z:
+        names = z.namelist()
+    assert any(n == "nerfool_tpu/attack/attack.py" for n in names)
+    assert any(n.startswith("scripts/") for n in names)
+    assert any(n.startswith("configs/") and n.endswith(".txt") for n in names)
