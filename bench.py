@@ -31,6 +31,7 @@ ATTACK_ITERS = int(os.environ.get("BENCH_ATTACK_ITERS", 10))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # rendering path
 ATTACK_DTYPE = os.environ.get("BENCH_ATTACK_DTYPE", "float32")  # parity default
 FEATURE_DTYPE = os.environ.get("BENCH_FEATURE_DTYPE", "float32")  # ResUNet convs
+REMAT = os.environ.get("BENCH_REMAT", "1") == "1"  # feature-net remat in bwd
 REUSE_TAPS = os.environ.get("BENCH_REUSE_TAPS", "1") == "1"  # fine-pass tap reuse
 USE_PALLAS = os.environ.get("BENCH_USE_PALLAS", "0") == "1"  # fused aggregation kernel
 
@@ -77,7 +78,7 @@ def main():
                       os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
     bundle = create_model(backbone=BACKBONE, rng_key=jax.random.PRNGKey(0),
                           trans_depth=8, single_net=True,
-                          feature_dtype=FEATURE_DTYPE)
+                          feature_dtype=FEATURE_DTYPE, remat_features=REMAT)
     cfg = RenderConfig(
         n_samples=N_SAMPLES, n_importance=N_IMPORTANCE, det=True,
         inv_uniform=BACKBONE == "ibrnet", backbone=BACKBONE,
@@ -202,6 +203,14 @@ def main():
             )(x))))
         log(f"breakdown/feature fwd+bwd (remat): "
             f"{timeit(lambda *_: force(fwdbwd(src_rgbs_j)))*1e3:.0f} ms")
+        fwdbwd_nr = jax.jit(jax.grad(
+            lambda x: jnp.sum(
+                bundle.feature_net.apply({"params": feat_p}, x)[0])))
+        try:
+            log(f"breakdown/feature fwd+bwd (no remat): "
+                f"{timeit(lambda *_: force(fwdbwd_nr(src_rgbs_j)))*1e3:.0f} ms")
+        except Exception as e:  # OOM at full scale is informative, not fatal
+            log(f"breakdown/feature fwd+bwd (no remat): failed ({type(e).__name__})")
 
         # render N_RAND rays fwd+bwd w.r.t. featmaps (attack render share)
         feats_f32 = extract(bundle.params["feature_net"], src_rgbs_j)

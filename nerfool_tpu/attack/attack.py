@@ -220,7 +220,22 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
         else:
             src_cams = src["cameras"]
 
-        feats = bundle.extract_features(src_rgbs + delta, params=feature_params)
+        perturbed = src_rgbs + delta
+        if ray_sharding is not None:
+            # the feature net is per-view independent (InstanceNorm normalizes
+            # per instance), so its conv fwd+bwd — the attack step's dominant
+            # cost on one chip — shards EXACTLY over the view axis on the same
+            # mesh axis the rays use; GSPMD all-gathers the (small) featmaps
+            # for the ray gathers and reduce-scatters their backward
+            perturbed = jax.lax.with_sharding_constraint(perturbed, ray_sharding)
+        feats = bundle.extract_features(perturbed, params=feature_params)
+        if ray_sharding is not None:
+            rep = jax.sharding.NamedSharding(
+                ray_sharding.mesh, jax.sharding.PartitionSpec()
+            )
+            feats = tuple(
+                jax.lax.with_sharding_constraint(f, rep) for f in feats
+            )
 
         # NOTE (reference semantics, eval_adv.py:292-304): delta reaches the
         # renderer only through the feature maps — the projector's RGB gather

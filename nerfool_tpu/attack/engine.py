@@ -91,6 +91,14 @@ class AdvEvaluator:
             rng_key=jax.random.PRNGKey(0),
         )
         self.render_cfg = default_render_config(args, backbone=args.backbone)
+        # multi-chip: shard the ray axis over every visible device (attack-step
+        # gradients psum over ICI; whole-frame render blocks split per chip).
+        # Single-device runs keep ray_sharding=None (identical program).
+        self.ray_sharding = None
+        if getattr(args, "shard_rays", True) and len(jax.devices()) > 1:
+            from nerfool_tpu.parallel.mesh import get_mesh, shard_rays
+
+            self.ray_sharding = shard_rays(get_mesh())
         dkw = dataset_kwargs or {}
         self.test_dataset = dataset_dict[args.eval_dataset](
             args, "test", scenes=args.eval_scenes, **dkw
@@ -141,7 +149,8 @@ class AdvEvaluator:
         key = (cfg, self.render_cfg)
         if key not in self._step_cache:
             self._step_cache[key] = self.jax.jit(
-                make_attack_step(self.bundle, self.render_cfg, cfg)
+                make_attack_step(self.bundle, self.render_cfg, cfg,
+                                 ray_sharding=self.ray_sharding)
             )
         return self._step_cache[key]
 
@@ -300,7 +309,7 @@ class AdvEvaluator:
             self.bundle.render_params, self.bundle.modules, batch, feats,
             self.render_cfg, h, w, src["rgbs"], src_cameras,
             chunk_size=args.chunk_size, render_stride=args.render_stride,
-            featmaps_clean=feats_clean,
+            featmaps_clean=feats_clean, ray_sharding=self.ray_sharding,
         )
 
     def evaluate(self, out_dir=None, save_images=True, verbose=True,

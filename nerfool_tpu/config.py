@@ -123,6 +123,9 @@ def config_parser():
                         choices=["float32", "bfloat16"])
     parser.add_argument("--feature_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    # shard the ray axis over all visible devices (attack step + whole-frame
+    # render); identical numerics to single-device, so on by default
+    parser.add_argument("--shard_rays", type=str2bool, default=True)
     # gnt-specific
     parser.add_argument("--netwidth", type=int, default=64)
     parser.add_argument("--trans_depth", type=int, default=4)

@@ -22,11 +22,18 @@ from nerfool_tpu.render.render_rays import RenderConfig, render_rays
 def render_rays_blocked(
     params, model, ray_batch, featmaps, cfg: RenderConfig,
     src_rgbs, src_cameras, block_size: int = 4096, key=None, featmaps_clean=None,
+    ray_sharding=None,
 ):
     """Render N rays in fixed-size blocks under one jit trace.
 
     ``ray_batch`` per-ray entries (ray_o, ray_d) are padded to a block multiple;
     outputs come back [N_padded, ...] and the caller slices to N.
+
+    ``ray_sharding``: optional NamedSharding splitting each block's ray axis
+    over the mesh — every lax.map step then shades block_size/n_chips rays per
+    chip (params/sources replicate; no cross-chip traffic until the final
+    gather of outputs). This is how whole-frame rendering scales over a pod
+    slice; the serial block loop only bounds per-chip memory.
     """
     from nerfool_tpu.render.render_rays import (
         make_packed_tables,
@@ -51,6 +58,9 @@ def render_rays_blocked(
         batch = dict(ray_batch)
         batch["ray_o"] = b["ray_o"]
         batch["ray_d"] = b["ray_d"]
+        if ray_sharding is not None:
+            for k in ("ray_o", "ray_d"):
+                batch[k] = jax.lax.with_sharding_constraint(batch[k], ray_sharding)
         return render_rays(
             params, model, batch, featmaps, cfg,
             src_rgbs=src_rgbs, src_cameras=src_cameras, key=key,
@@ -68,23 +78,26 @@ def render_rays_blocked(
 
 
 @functools.lru_cache(maxsize=None)
-def _blocked_fn(model_items, cfg, block_size):
+def _blocked_fn(model_items, cfg, block_size, ray_sharding):
     model = dict(model_items)
 
     def fn(params, ray_batch, featmaps, src_rgbs, src_cameras, key, featmaps_clean):
         return render_rays_blocked(
             params, model, ray_batch, featmaps, cfg, src_rgbs, src_cameras,
             block_size=block_size, key=key, featmaps_clean=featmaps_clean,
+            ray_sharding=ray_sharding,
         )
 
     return jax.jit(fn)
 
 
 def _render_blocked_jit(params, model, ray_batch, featmaps, cfg, src_rgbs,
-                        src_cameras, block_size, key, featmaps_clean):
-    # flax Modules are frozen/hashable: cache one compiled fn per (model, cfg)
+                        src_cameras, block_size, key, featmaps_clean,
+                        ray_sharding=None):
+    # flax Modules are frozen/hashable: cache one compiled fn per
+    # (model, cfg, sharding) — NamedSharding is hashable too
     fn = _blocked_fn(tuple(sorted(model.items(), key=lambda kv: kv[0])), cfg,
-                     block_size)
+                     block_size, ray_sharding)
     return fn(params, ray_batch, featmaps, src_rgbs, src_cameras, key,
               featmaps_clean)
 
@@ -93,7 +106,7 @@ def render_single_image(
     params, model, ray_batch, featmaps, cfg: RenderConfig,
     h: int, w: int, src_rgbs, src_cameras,
     chunk_size: int = 4096, render_stride: int = 1, key=None, featmaps_clean=None,
-    max_rays_per_call: int = 262144,
+    max_rays_per_call: int = 262144, ray_sharding=None,
 ):
     """Render a full frame and reshape outputs to (H', W', C).
 
@@ -121,7 +134,7 @@ def render_single_image(
                 sub["ray_d"] = jnp.pad(sub["ray_d"], ((0, pad), (0, 0)), mode="edge")
             outs.append(_render_blocked_jit(
                 params, model, sub, featmaps, cfg, src_rgbs, src_cameras,
-                chunk_size, key, featmaps_clean,
+                chunk_size, key, featmaps_clean, ray_sharding,
             ))
 
         def cat(*xs):
@@ -133,7 +146,7 @@ def render_single_image(
     else:
         out = _render_blocked_jit(
             params, model, ray_batch, featmaps, cfg, src_rgbs, src_cameras,
-            chunk_size, key, featmaps_clean,
+            chunk_size, key, featmaps_clean, ray_sharding,
         )
     hs = len(range(0, h, render_stride))
     ws = len(range(0, w, render_stride))

@@ -166,3 +166,23 @@ def test_bf16_compute_dtype_close_to_f32(rng):
         assert b.dtype == np.float32  # outputs come back f32
         err = np.abs(a - b).max()
         assert err < 0.05, (lvl, err)  # bf16 mantissa ~3 decimal digits
+
+
+def test_sharded_whole_frame_render_matches_single_device(rng):
+    """render_single_image with ray_sharding (blocks split over the 8-device
+    mesh inside lax.map) must reproduce the unsharded frame exactly."""
+    bundle, batch, cfg, src_rgbs, src_cams, feats, (h, w) = _setup(rng)
+    ref = render_single_image(
+        bundle.render_params, bundle.modules, batch, feats, cfg, h, w,
+        src_rgbs, src_cams, chunk_size=256,
+    )
+    rs = shard_rays(get_mesh())
+    out = render_single_image(
+        bundle.render_params, bundle.modules, batch, feats, cfg, h, w,
+        src_rgbs, src_cams, chunk_size=256, ray_sharding=rs,
+    )
+    for lvl in ("outputs_coarse", "outputs_fine"):
+        np.testing.assert_allclose(
+            np.asarray(out[lvl]["rgb"]), np.asarray(ref[lvl]["rgb"]),
+            rtol=1e-4, atol=1e-5,
+        )
