@@ -21,6 +21,7 @@ from nerfool_tpu.attack.attack import (
     AttackConfig,
     init_attack_state,
     make_attack_step,
+    run_attack_scan,
 )
 from nerfool_tpu.attack.geo_interp import sample_unseen_pose
 from nerfool_tpu.attack.perturb import project_delta
@@ -158,23 +159,46 @@ class AdvEvaluator:
 
     def attack_view_specific(self, data, verbose=False):
         """Optimize delta against one test view's own source set
-        (eval_adv.py:762-843). Returns (delta, src, perturbed_src_cameras)."""
+        (eval_adv.py:762-843). Returns (delta, src, perturbed_src_cameras).
+
+        Iterations run in lax.scan groups (one device execution per
+        ``scan_group`` iterations): per-iteration host dispatch leaves the
+        device idle between steps — an op-profile on the v5e relay showed
+        IDLE as the top attack-loop cost — and the fixed target view makes
+        the whole loop scannable."""
         target, (h, w) = self._make_target(data)
         src = self._make_src(data)
         cfg = build_attack_config(self.args, h, w)
-        step = self._attack_step_fn(cfg)
         state = init_attack_state(self._split(), cfg, src["rgbs"])
         t0 = time.perf_counter()
-        # pre-split iteration keys: a per-iteration host-side split is a tiny
+        n_iters = self.args.adv_iters
+        group = max(1, min(getattr(self.args, "scan_group", 25) or 1, n_iters))
+        while n_iters % group:  # exact iteration-count parity with the CLI
+            group -= 1
+        scan = self._attack_scan_fn(cfg, group)
+        # pre-split group keys: a per-iteration host-side split is a tiny
         # device op that serializes the pipeline (~2s/iter on relay-backed TPUs)
-        keys = self.jax.random.split(self._split(), self.args.adv_iters)
-        for it in range(self.args.adv_iters):
-            state, aux = step(state, target, src, keys[it])
-            if verbose and (it + 1) % max(1, self.args.adv_iters // 10) == 0:
-                print(f"  attack iter {it+1}/{self.args.adv_iters} "
-                      f"loss={float(aux['loss']):.5f} "
-                      f"({(time.perf_counter()-t0)/(it+1)*1e3:.0f} ms/iter)")
+        keys = self.jax.random.split(self._split(), n_iters // group)
+        for g, key in enumerate(keys):
+            state, aux = scan(state, target, src, key)
+            done = (g + 1) * group
+            if verbose:
+                print(f"  attack iter {done}/{n_iters} "
+                      f"loss={float(aux['loss'][-1]):.5f} "
+                      f"({(time.perf_counter()-t0)/done*1e3:.0f} ms/iter)")
         return self._finalize(state, src, cfg)
+
+    def _attack_scan_fn(self, cfg, group):
+        key = (cfg, self.render_cfg, group)
+        if key not in self._step_cache:
+            step = make_attack_step(self.bundle, self.render_cfg, cfg,
+                                    ray_sharding=self.ray_sharding)
+
+            def scan(state, target, src, k):
+                return run_attack_scan(step, state, target, src, k, group)
+
+            self._step_cache[key] = self.jax.jit(scan)
+        return self._step_cache[key]
 
     def attack_universal(self, verbose=False):
         """Optimize one delta across train-split target views through the
@@ -205,29 +229,68 @@ class AdvEvaluator:
 
         t0 = time.perf_counter()
         data = first
-        keys = self.jax.random.split(self._split(), args.adv_iters)
-        for i in range(args.adv_iters):
-            if args.use_unseen_views:
-                pose = sample_unseen_pose(
-                    rng, render_poses,
-                    interp_upbound=args.interp_upbound,
-                    decouple=args.decouple_interp_range,
-                    upbound_rot=args.interp_upbound_rot,
-                    upbound_trans=args.interp_upbound_trans,
-                    sample_based_on_depth=args.sample_based_on_depth,
-                    beta=args.beta, temp=args.temp,
+        n_iters = args.adv_iters
+        # scan groups over PRE-STACKED target views: per-iteration host
+        # dispatch leaves the device idle (op-profile: IDLE is the top cost on
+        # relay-backed chips); stacking `group` streamed targets lets a
+        # lax.scan drive `group` iterations in one device execution
+        group = max(1, min(getattr(args, "scan_group", 25) or 1, n_iters))
+        while n_iters % group:
+            group -= 1
+        scan = self._universal_scan_fn(cfg, group) if group > 1 else None
+        keys = self.jax.random.split(self._split(), n_iters)
+        i = 0
+        while i < n_iters:
+            batch = []
+            for _ in range(group):
+                if args.use_unseen_views:
+                    pose = sample_unseen_pose(
+                        rng, render_poses,
+                        interp_upbound=args.interp_upbound,
+                        decouple=args.decouple_interp_range,
+                        upbound_rot=args.interp_upbound_rot,
+                        upbound_trans=args.interp_upbound_trans,
+                        sample_based_on_depth=args.sample_based_on_depth,
+                        beta=args.beta, temp=args.temp,
+                    )
+                    cam = np.asarray(data["camera"]).copy()
+                    cam[18:34] = pose.reshape(-1)[:16]
+                    data = dict(data, camera=cam)
+                target, _ = self._make_target(data)
+                batch.append(target)
+                data = next(it)
+            if group == 1:
+                state, aux = step(state, batch[0], src, keys[i])
+                last_loss = float(aux["loss"])
+            else:
+                targets = self.jax.tree.map(
+                    lambda *xs: self.jax.numpy.stack(xs), *batch
                 )
-                cam = np.asarray(data["camera"]).copy()
-                cam[18:34] = pose.reshape(-1)[:16]
-                data = dict(data, camera=cam)
-            target, _ = self._make_target(data)
-            state, aux = step(state, target, src, keys[i])
-            if verbose and (i + 1) % max(1, args.adv_iters // 10) == 0:
-                print(f"  universal iter {i+1}/{args.adv_iters} "
-                      f"loss={float(aux['loss']):.5f} "
-                      f"({(time.perf_counter()-t0)/(i+1)*1e3:.0f} ms/iter)")
-            data = next(it)
+                state, aux = scan(state, targets, src,
+                                  keys[i:i + group])
+                last_loss = float(aux["loss"][-1])
+            i += group
+            if verbose and (i % max(group, n_iters // 10)) < group:
+                print(f"  universal iter {i}/{n_iters} "
+                      f"loss={last_loss:.5f} "
+                      f"({(time.perf_counter()-t0)/i*1e3:.0f} ms/iter)")
         return self._finalize(state, src, cfg)
+
+    def _universal_scan_fn(self, cfg, group):
+        key = (cfg, self.render_cfg, group, "universal")
+        if key not in self._step_cache:
+            step = make_attack_step(self.bundle, self.render_cfg, cfg,
+                                    ray_sharding=self.ray_sharding)
+
+            def scan(state, targets, src, keys):
+                def body(st, inp):
+                    k, tgt = inp
+                    return step(st, tgt, src, k)
+
+                return self.jax.lax.scan(body, state, (keys, targets))
+
+            self._step_cache[key] = self.jax.jit(scan)
+        return self._step_cache[key]
 
     def _finalize(self, state, src, cfg):
         delta = state["delta"]

@@ -126,6 +126,9 @@ def config_parser():
     # shard the ray axis over all visible devices (attack step + whole-frame
     # render); identical numerics to single-device, so on by default
     parser.add_argument("--shard_rays", type=str2bool, default=True)
+    # view-specific attack iterations per device execution (lax.scan group):
+    # amortizes host dispatch; 1 restores the reference's per-iter host loop
+    parser.add_argument("--scan_group", type=int, default=25)
     # gnt-specific
     parser.add_argument("--netwidth", type=int, default=64)
     parser.add_argument("--trans_depth", type=int, default=4)

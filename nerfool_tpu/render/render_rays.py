@@ -334,24 +334,28 @@ def _render_rays_reuse(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
         packed_rgb=packed["rgb"], packed_feat=packed["feat_all"],
         feat_shape=fshape,
     )
-    # restore sorted-z sample order over the channel-concatenated taps with a
-    # one-hot matmul: a per-ray 128x128 permutation rides the MXU with natural
-    # layouts (take_along_axis lowers to a gather whose forced operand layout
-    # pads these tensors ~200x on TPU) and its backward is a transposed matmul
-    # instead of a scatter
+    # restore sorted-z sample order with a one-hot matmul: a per-ray
+    # (S+I)x(S+I) permutation rides the MXU with natural layouts
+    # (take_along_axis lowers to a gather whose forced operand layout pads
+    # these tensors ~200x on TPU) and its backward is a transposed matmul
+    # instead of a scatter. Only the channels the fine pass consumes are
+    # permuted — the fine head slice is taken BEFORE the permute and the
+    # components ride separate einsums (an op-profile on v5e showed a combined
+    # all-channel concat + permute dominating the whole render with data
+    # formatting traffic)
     dt = rgb_c.dtype
-    comb = jnp.concatenate([
-        jnp.concatenate([rgb_c, feat_c, rd_c.astype(dt), m_c.astype(dt)], axis=-1),
-        jnp.concatenate([rgb_n, feat_n, rd_n.astype(dt), m_n.astype(dt)], axis=-1),
-    ], axis=2)  # [V, R, S+I, 3+C+4+1] in pre-sort [coarse | new] layout
-    perm = jax.nn.one_hot(order, comb.shape[2], dtype=dt)  # [R, S+I, S+I]
-    comb = jnp.einsum("rij,vrjk->vrik", perm, comb)
-    c_all = fshape[-1]
-    rgb_f = comb[..., :3]
-    feat_f = comb[..., 3:3 + c_all]
-    rd_f = comb[..., 3 + c_all:7 + c_all]
-    m_f = comb[..., 7 + c_all:]
-    rgb_feat_f = jnp.concatenate([rgb_f, feat_f[..., sl1[0]:sl1[1]]], axis=-1)
+    s_all = rgb_c.shape[2] + rgb_n.shape[2]
+    perm = jax.nn.one_hot(order, s_all, dtype=dt)  # [R, S+I, S+I]
+
+    def permute(pre):  # [V, R, S+I, C] pre-sort [coarse | new] -> sorted
+        return jnp.einsum("rij,vrjk->vrik", perm, pre)
+
+    rgb_feat_f = permute(jnp.concatenate([
+        jnp.concatenate([rgb_c, feat_c[..., sl1[0]:sl1[1]]], axis=-1),
+        jnp.concatenate([rgb_n, feat_n[..., sl1[0]:sl1[1]]], axis=-1),
+    ], axis=2))
+    rd_f = permute(jnp.concatenate([rd_c, rd_n], axis=2).astype(dt))
+    m_f = permute(jnp.concatenate([m_c, m_n], axis=2).astype(dt))
     pts_fine = z_all[..., None] * ray_d[:, None, :] + ray_o[:, None, :]
     raw_f = _shade_raw(params, model, cfg, rgb_feat_f, rd_f, m_f, pts_fine,
                        ray_d, "fine")
