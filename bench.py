@@ -178,8 +178,30 @@ def main():
     force(state["delta"])
     attack_s = (time.perf_counter() - t0) / ATTACK_ITERS
     attack_ips = 1.0 / attack_s
-    log(f"attack: {attack_s*1e3:.1f} ms/iter -> {attack_ips:.2f} iters/s "
-        f"(1000-iter attack in {1000*attack_s:.0f}s)")
+    log(f"attack (per-iter dispatch): {attack_s*1e3:.1f} ms/iter -> "
+        f"{attack_ips:.2f} iters/s (1000-iter attack in {1000*attack_s:.0f}s)")
+
+    # grouped scan: the engine's production path (one device execution per
+    # scan_group iterations; removes the per-iter dispatch idle)
+    from nerfool_tpu.attack.attack import run_attack_scan
+
+    group = int(os.environ.get("BENCH_SCAN_GROUP", 10))
+    step_raw = make_attack_step(bundle, attack_render_cfg, acfg)
+    scan = jax.jit(lambda st, t, s, k: run_attack_scan(step_raw, st, t, s, k, group))
+    state = init_attack_state(jax.random.PRNGKey(1), acfg, src_rgbs_j)
+    t0 = time.perf_counter()
+    state, aux = scan(state, target, src, jax.random.PRNGKey(5))
+    force(state["delta"])
+    log(f"attack scan compile+first group: {time.perf_counter()-t0:.2f}s")
+    t0 = time.perf_counter()
+    n_groups = max(1, ATTACK_ITERS // group)
+    gkeys = jax.random.split(jax.random.PRNGKey(6), n_groups)
+    for i in range(n_groups):
+        state, aux = scan(state, target, src, gkeys[i])
+    force(state["delta"])
+    scan_s = (time.perf_counter() - t0) / (n_groups * group)
+    log(f"attack (scan group={group}): {scan_s*1e3:.1f} ms/iter -> "
+        f"{1.0/scan_s:.2f} iters/s (1000-iter attack in {1000*scan_s:.0f}s)")
 
     if os.environ.get("BENCH_BREAKDOWN", "0") == "1":
         # isolate the attack step's cost components (all timings best-of-3)
