@@ -193,6 +193,11 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
     feature_params = bundle.params["feature_net"]
     opt = make_optimizer(cfg)
     loss_names = cfg.enabled_losses()
+    # fused rgb+feat superrows lose inside the attack step: the constant RGB
+    # patch block would be repacked every iteration (n_rand-ray batches gather
+    # too few rows to amortize it; measured +90 ms/iter on v5e) — whole-frame
+    # eval renders keep the fused tables
+    render_cfg = dataclasses.replace(render_cfg, fuse_rgb_rows=False)
     gt_cfg = dataclasses.replace(render_cfg, det=True, geo_noise=0.0)
 
     def render_subset(net_params, feats, target, src_cams, src_rgbs, sel, rcfg, key):

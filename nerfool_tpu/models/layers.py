@@ -55,7 +55,9 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # [N, H, W, C]
-        x32 = x.astype(jnp.float32)
+        # promote (never demote): bf16 -> f32 statistics, f32/f64 unchanged
+        stat_dt = jnp.promote_types(x.dtype, jnp.float32)
+        x32 = x.astype(stat_dt)
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
         var = jnp.var(x32, axis=(1, 2), keepdims=True)
         y = (x32 - mean) / jnp.sqrt(var + self.eps)
@@ -74,18 +76,20 @@ def upsample_bilinear_aligned(x, scale: int):
     oh, ow = h * scale, w * scale
 
     def axis_coords(out_len, in_len):
-        # coordinate math in f32 (bf16 pixel fractions drift at image sizes);
-        # only the final lerp weight is cast to the compute dtype
+        # coordinate math at >= f32 (bf16 pixel fractions drift at image
+        # sizes; f64 inputs keep f64); only the final lerp weight is cast to
+        # the compute dtype
+        coord_dt = jnp.promote_types(x.dtype, jnp.float32)
         if out_len == 1 or in_len == 1:
             return (
                 jnp.zeros((out_len,), jnp.int32),
                 jnp.zeros((out_len,), jnp.int32),
                 jnp.zeros((out_len,), x.dtype),
             )
-        f = jnp.arange(out_len, dtype=jnp.float32) * ((in_len - 1) / (out_len - 1))
+        f = jnp.arange(out_len, dtype=coord_dt) * ((in_len - 1) / (out_len - 1))
         i0 = jnp.floor(f).astype(jnp.int32)
         i0 = jnp.clip(i0, 0, in_len - 2)
-        t = f - i0.astype(jnp.float32)
+        t = f - i0.astype(coord_dt)
         return i0, i0 + 1, t.astype(x.dtype)
 
     y0, y1, ty = axis_coords(oh, h)

@@ -112,12 +112,16 @@ def inbound_mask(pixel_locations, h, w):
 
 def epipolar_gather_components(xyz, query_camera, src_rgbs, src_cameras, featmaps,
                                stop_camera_grad=True, packed_rgb=None,
-                               packed_feat=None, feat_shape=None):
+                               packed_feat=None, feat_shape=None,
+                               packed_super=None, super_p=None, rgb_shape=None):
     """Like :func:`epipolar_gather` but keeps colors and features separate.
 
     Used by the fine-pass tap-reuse path, where ``featmaps``/``packed_feat`` may
     be a channel-unified (coarse|fine) table that downstream code slices;
     ``featmaps`` may be None when (``packed_feat``, ``feat_shape``) are given.
+    With ``packed_super`` (+ ``super_p``, ``rgb_shape``, ``feat_shape``) the
+    rgb and feature taps ride ONE fused superrow gather
+    (see grid_sample.pack_superrow_table).
 
     :return: (rgb [V, R, S, 3], feat [V, R, S, C],
               ray_diff [V, R, S, 4], mask [V, R, S, 1] float)
@@ -135,9 +139,16 @@ def epipolar_gather_components(xyz, query_camera, src_rgbs, src_cameras, featmap
     gx = 2.0 * pix_x / (w - 1.0) - 1.0
     gy = 2.0 * pix_y / (h - 1.0) - 1.0
 
-    rgb_sampled = gather_bilinear_planes(src_rgbs, gx, gy, packed=packed_rgb)
-    feat_sampled = gather_bilinear_planes(featmaps, gx, gy, packed=packed_feat,
-                                          shape=feat_shape)
+    if packed_super is not None:
+        from nerfool_tpu.ops.grid_sample import gather_superrows
+
+        feat_sampled, rgb_sampled = gather_superrows(
+            gx, gy, packed_super, feat_shape, rgb_shape, super_p
+        )
+    else:
+        rgb_sampled = gather_bilinear_planes(src_rgbs, gx, gy, packed=packed_rgb)
+        feat_sampled = gather_bilinear_planes(featmaps, gx, gy, packed=packed_feat,
+                                              shape=feat_shape)
     rgb = rgb_sampled.reshape(v, r, s, -1)
     feat = feat_sampled.reshape(v, r, s, -1)
 
@@ -152,7 +163,8 @@ def epipolar_gather_components(xyz, query_camera, src_rgbs, src_cameras, featmap
 
 def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
                     stop_camera_grad=True, packed_rgb=None, packed_feat=None,
-                    feat_shape=None):
+                    feat_shape=None, packed_super=None, super_p=None,
+                    rgb_shape=None):
     """Project sample points into all source views and gather colors + features.
 
     :param xyz: [n_rays, n_samples, 3]
@@ -171,5 +183,6 @@ def epipolar_gather(xyz, query_camera, src_rgbs, src_cameras, featmaps,
         xyz, query_camera, src_rgbs, src_cameras, featmaps,
         stop_camera_grad=stop_camera_grad, packed_rgb=packed_rgb,
         packed_feat=packed_feat, feat_shape=feat_shape,
+        packed_super=packed_super, super_p=super_p, rgb_shape=rgb_shape,
     )
     return jnp.concatenate([rgb, feat], axis=-1), ray_diff, mask

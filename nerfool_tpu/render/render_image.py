@@ -49,9 +49,11 @@ def render_rays_blocked(
         "ray_d": ray_d.reshape(nb, block_size, 3),
     }
     # corner-pack the gather tables ONCE, outside the block loop
+    hybrid = cfg.use_clean_color or cfg.use_clean_density
     packed = make_packed_tables(
         src_rgbs, featmaps, featmaps_clean, cfg.compute_dtype,
         unify_feat=wants_unified_tables(cfg, featmaps, featmaps_clean),
+        fuse_rgb=cfg.fuse_rgb_rows and featmaps_clean is None and not hybrid,
     )
 
     def render_block(b):

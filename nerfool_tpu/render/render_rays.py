@@ -56,6 +56,13 @@ class RenderConfig:
     # points in the fine pass, reordering the coarse taps on-chip — ~1/3 fewer
     # random HBM gathers (and backward scatters) per rendered ray
     reuse_fine_taps: bool = False
+    # fused rgb+feature superrows: append each feat-resolution row's PxP
+    # full-res RGB patch to the corner-packed feature table so ONE gather
+    # serves both taps — row gathers are issue-rate bound (~47M rows/s on v5e
+    # regardless of width up to ~512ch), so this halves sampler time. Exact
+    # numerics (see tests/test_grid_sample.py superrow tests). Disabled
+    # automatically for hybrid clean-feature rendering.
+    fuse_rgb_rows: bool = True
 
 
 def make_shade_fn(model, cfg: RenderConfig) -> Callable:
@@ -102,7 +109,8 @@ def wants_unified_tables(cfg: RenderConfig, featmaps, featmaps_clean=None):
 
 
 def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None,
-                       compute_dtype="float32", unify_feat=False):
+                       compute_dtype="float32", unify_feat=False,
+                       fuse_rgb=False):
     """Corner-pack the gather tables once (outside any chunk loop).
 
     Returns {'rgb', 'feat': (coarse, fine), 'shapes', optionally 'feat_clean'};
@@ -114,17 +122,28 @@ def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None,
     the dict gains 'feat_all' plus per-level channel ranges 'feat_slices'.
     Gather cost on TPU is per-row, so one 2C-channel row costs what a C-channel
     row does — and the same row then serves both render passes.
+
+    With ``fuse_rgb`` each feature table additionally carries the PxP full-res
+    RGB patch of its cell (grid_sample.pack_superrow_table): 'rgb' is None and
+    the feature tables become superrow tables ('super'/'super_all' + 'p') —
+    ONE gather per tap instead of two (row gathers are issue-rate bound).
     """
-    from nerfool_tpu.ops.grid_sample import pack_corner_table
+    from nerfool_tpu.ops.grid_sample import (
+        pack_corner_table,
+        pack_superrow_table,
+    )
 
     dt = jnp.dtype(compute_dtype)
-    cast = (lambda x: x.astype(dt)) if dt != jnp.float32 else (lambda x: x)
+    cast = (lambda x: jnp.asarray(x).astype(dt)) if dt != jnp.float32 else jnp.asarray
     packed = {
-        "rgb": pack_corner_table(cast(src_rgbs)),
+        "rgb": None if fuse_rgb else pack_corner_table(cast(src_rgbs)),
         "shapes": {
             "rgb": src_rgbs.shape,
             "feat": tuple(f.shape for f in featmaps),
         },
+        "super": None,
+        "super_all": None,
+        "p": None,
     }
     if unify_feat:
         c0 = featmaps[0].shape[-1]
@@ -137,9 +156,31 @@ def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None,
             )
             slices = ((0, c0), (c0, c0 + featmaps[1].shape[-1]))
         packed["feat"] = None
-        packed["feat_all"] = pack_corner_table(cast(feat_all))
         packed["feat_slices"] = slices
         packed["shapes"]["feat_all"] = feat_all.shape
+        table = pack_corner_table(cast(feat_all))
+        if fuse_rgb:
+            packed["super_all"], packed["p"] = pack_superrow_table(
+                cast(src_rgbs), table, feat_all.shape
+            )
+        else:
+            packed["feat_all"] = table
+    elif fuse_rgb:
+        packed["feat"] = None
+        rgb_cast = cast(src_rgbs)
+        if featmaps[0] is featmaps[1]:
+            t, p = pack_superrow_table(
+                rgb_cast, pack_corner_table(cast(featmaps[0])), featmaps[0].shape
+            )
+            packed["super"], packed["p"] = (t, t), p
+        else:
+            tables = []
+            for f in featmaps:
+                t, p = pack_superrow_table(
+                    rgb_cast, pack_corner_table(cast(f)), f.shape
+                )
+                tables.append(t)
+            packed["super"], packed["p"] = tuple(tables), p
     else:
         packed["feat"] = tuple(pack_corner_table(cast(f)) for f in featmaps)
     if featmaps_clean is not None:
@@ -152,12 +193,13 @@ def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None,
 
 def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
                       featmap, level, ray_d, packed_rgb=None, packed_feat=None,
-                      feat_shape=None):
+                      feat_shape=None, packed_super=None, super_p=None,
+                      rgb_shape=None):
     """Project points into source views and run the aggregator."""
     dt = jnp.dtype(cfg.compute_dtype)
-    if dt != jnp.float32 and packed_feat is None:
+    if dt != jnp.float32 and packed_feat is None and packed_super is None:
         featmap = featmap.astype(dt)
-    if dt != jnp.float32 and packed_rgb is None:
+    if dt != jnp.float32 and packed_rgb is None and packed_super is None:
         src_rgbs_gather = src_rgbs.astype(dt)
     else:
         src_rgbs_gather = src_rgbs
@@ -171,6 +213,9 @@ def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
         packed_rgb=packed_rgb,
         packed_feat=packed_feat,
         feat_shape=feat_shape,
+        packed_super=packed_super,
+        super_p=super_p,
+        rgb_shape=rgb_shape,
     )
     raw = _shade_raw(params, model, cfg, rgb_feat, ray_diff, mask, pts, ray_d,
                      level)
@@ -244,23 +289,30 @@ def render_rays(
         cfg.n_samples, inv_uniform=cfg.inv_uniform, det=cfg.det, key=keys[0],
     )
     ray_d = ray_batch["ray_d"]
+    hybrid = cfg.use_clean_color or cfg.use_clean_density
     if packed is None:
         packed = make_packed_tables(
             src_rgbs, featmaps, featmaps_clean, cfg.compute_dtype,
             unify_feat=wants_unified_tables(cfg, featmaps, featmaps_clean),
+            fuse_rgb=cfg.fuse_rgb_rows and featmaps_clean is None and not hybrid,
         )
-    if packed.get("feat") is None:  # unified tables -> fine-pass tap reuse
+    if "feat_slices" in packed:  # unified tables -> fine-pass tap reuse
         return _render_rays_reuse(
             params, model, ray_batch, cfg, src_rgbs, src_cameras, keys, packed,
             pts, z_vals,
         )
 
     def run_level(pts, z_vals, level, li, noise_key):
+        super_tabs = packed.get("super")
         raw, pixel_mask = _gather_and_shade(
             params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
             featmaps[li], level, ray_d,
-            packed_rgb=packed["rgb"], packed_feat=packed["feat"][li],
+            packed_rgb=packed["rgb"],
+            packed_feat=None if super_tabs else packed["feat"][li],
             feat_shape=packed["shapes"]["feat"][li],
+            packed_super=super_tabs[li] if super_tabs else None,
+            super_p=packed.get("p"),
+            rgb_shape=packed["shapes"]["rgb"],
         )
         if cfg.use_clean_color or cfg.use_clean_density:
             raw_clean, _ = _gather_and_shade(
@@ -308,12 +360,18 @@ def _render_rays_reuse(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
     ray_o, ray_d = ray_batch["ray_o"], ray_batch["ray_d"]
     sl0, sl1 = packed["feat_slices"]
     fshape = packed["shapes"]["feat_all"]
+    gather_kw = dict(
+        stop_camera_grad=cfg.stop_camera_grad,
+        packed_rgb=packed["rgb"],
+        packed_feat=packed.get("feat_all"),
+        feat_shape=fshape,
+        packed_super=packed.get("super_all"),
+        super_p=packed.get("p"),
+        rgb_shape=packed["shapes"]["rgb"],
+    )
 
     rgb_c, feat_c, rd_c, m_c = epipolar_gather_components(
-        pts, cam, src_rgbs, src_cameras, None,
-        stop_camera_grad=cfg.stop_camera_grad,
-        packed_rgb=packed["rgb"], packed_feat=packed["feat_all"],
-        feat_shape=fshape,
+        pts, cam, src_rgbs, src_cameras, None, **gather_kw
     )
     rgb_feat_c = jnp.concatenate([rgb_c, feat_c[..., sl0[0]:sl0[1]]], axis=-1)
     raw_c = _shade_raw(params, model, cfg, rgb_feat_c, rd_c, m_c, pts, ray_d,
@@ -329,10 +387,7 @@ def _render_rays_reuse(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
     )
     pts_new = z_new[..., None] * ray_d[:, None, :] + ray_o[:, None, :]
     rgb_n, feat_n, rd_n, m_n = epipolar_gather_components(
-        pts_new, cam, src_rgbs, src_cameras, None,
-        stop_camera_grad=cfg.stop_camera_grad,
-        packed_rgb=packed["rgb"], packed_feat=packed["feat_all"],
-        feat_shape=fshape,
+        pts_new, cam, src_rgbs, src_cameras, None, **gather_kw
     )
     # restore sorted-z sample order with a one-hot matmul: a per-ray
     # (S+I)x(S+I) permutation rides the MXU with natural layouts
