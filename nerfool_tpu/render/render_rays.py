@@ -87,6 +87,22 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
             return agg_module.apply({"params": agg_params}, rgb_feat, ray_diff, mask)
 
     else:
+        if cfg.use_pallas:
+            from nerfool_tpu.ops.gnt_kernel import gnt_aggregate_pallas
+
+            def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
+                blk = min(cfg.pallas_ray_block, rgb_feat.shape[1])
+                while rgb_feat.shape[1] % blk:
+                    blk -= 1
+                return gnt_aggregate_pallas(
+                    agg_params, rgb_feat, ray_diff, mask, pts, ray_d,
+                    trans_depth=agg_module.trans_depth,
+                    ret_alpha=agg_module.ret_alpha,
+                    posenc_freqs=agg_module.posenc_freqs,
+                    ray_block=blk,
+                )
+
+            return shade
 
         def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
             return agg_module.apply(

@@ -78,3 +78,27 @@ def test_render_rays_with_pallas_matches(rng):
         np.asarray(out["outputs_coarse"]["rgb"]),
         np.asarray(ref["outputs_coarse"]["rgb"]), rtol=1e-4, atol=1e-5,
     )
+
+
+def test_gnt_fused_kernel_matches_flax(rng):
+    """Fused GNT transformer kernel vs the flax GNTAggregator (interpret)."""
+    from nerfool_tpu.models.gnt import GNTAggregator
+    from nerfool_tpu.ops.gnt_kernel import gnt_aggregate_pallas
+
+    v, r, s, c = 3, 8, 12, 35
+    rgb_feat, ray_diff, mask = _inputs(rng, v=v, r=r, s=s, c=c)
+    pts = jnp.asarray(rng.randn(r, s, 3).astype(np.float32))
+    ray_d = jnp.asarray(rng.randn(r, 3).astype(np.float32))
+    for ret_alpha, depth in ((True, 2), (False, 3), (True, 4)):
+        module = GNTAggregator(in_feat_ch=32, netwidth=64, trans_depth=depth,
+                               ret_alpha=ret_alpha)
+        params = module.init(jax.random.PRNGKey(0), rgb_feat, ray_diff, mask,
+                             pts, ray_d)["params"]
+        ref = np.asarray(module.apply({"params": params}, rgb_feat, ray_diff,
+                                      mask, pts, ray_d))
+        out = np.asarray(gnt_aggregate_pallas(
+            params, rgb_feat, ray_diff, mask, pts, ray_d,
+            trans_depth=depth, ret_alpha=ret_alpha, ray_block=4,
+            interpret=True,
+        ))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
