@@ -200,8 +200,57 @@ class Trainer:
         self.start_step = state["step"]
         return self.start_step
 
+    def log_view(self, data, step, logger, prefix="val"):
+        """Render one full view and write image panels (GT, coarse/fine pred,
+        colorized depth) — the reference's log_view_to_tb (train.py:248-314).
+        """
+        from nerfool_tpu.render.render_image import render_single_image
+        from nerfool_tpu.utils.cameras import get_rays
+        from nerfool_tpu.utils.vis import colorize_np
+
+        cam = np.asarray(data["camera"]).reshape(-1)[:34]
+        h, w = int(cam[0]), int(cam[1])
+        intr = cam[2:18].reshape(4, 4)
+        c2w = cam[18:34].reshape(4, 4)
+        rays_o, rays_d = get_rays(h, w, jnp.asarray(intr), jnp.asarray(c2w))
+        batch = {
+            "ray_o": rays_o, "ray_d": rays_d,
+            "depth_range": jnp.asarray(np.asarray(data["depth_range"]).reshape(1, 2)),
+            "camera": jnp.asarray(cam[None]),
+        }
+        src_rgbs = jnp.asarray(np.asarray(data["src_rgbs"]))
+        src_cams = jnp.asarray(np.asarray(data["src_cameras"]).reshape(-1, 34))
+        feats = self.bundle.extract_features(src_rgbs,
+                                             params=self.params["feature_net"])
+        render_params = {
+            "net_coarse": self.params["net_coarse"],
+            "net_fine": self.params.get("net_fine", self.params["net_coarse"]),
+        }
+        # validation renders are deterministic (the training cfg samples
+        # stochastically and would require a key; reference eval renders are
+        # det=True as well)
+        vcfg = dataclasses.replace(self.render_cfg, det=True, geo_noise=0.0)
+        out = render_single_image(
+            render_params, self.bundle.modules, batch, feats, vcfg,
+            h, w, src_rgbs, src_cams,
+        )
+        if data.get("rgb") is not None:
+            logger.add_image(f"{prefix}/gt_rgb",
+                             np.asarray(data["rgb"]).reshape(h, w, 3), step)
+        for lvl in ("outputs_coarse", "outputs_fine"):
+            if out[lvl] is None:
+                continue
+            tag = lvl.split("_")[1]
+            logger.add_image(f"{prefix}/pred_{tag}",
+                             np.asarray(out[lvl]["rgb"]), step)
+            if out[lvl].get("depth") is not None:
+                logger.add_image(
+                    f"{prefix}/depth_{tag}",
+                    colorize_np(np.asarray(out[lvl]["depth"])), step,
+                )
+
     def train(self, data_iter, n_iters, key=None, i_print=100, i_weights=10000,
-              log_fn=print):
+              log_fn=print, i_img=0, val_iter=None, logger=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         keys = jax.random.split(key, n_iters)
         t0 = time.perf_counter()
@@ -229,5 +278,9 @@ class Trainer:
                 )
             if (i + 1) % i_weights == 0:
                 self.save(i + 1)
+            if i_img and logger is not None and val_iter is not None and (
+                (i + 1) % i_img == 0
+            ):
+                self.log_view(next(val_iter), i + 1, logger)
         self.bundle.params = self.params
         return self.params

@@ -55,9 +55,17 @@ def main():
 
     loader = Loader(dataset, shuffle=True, seed=777, num_workers=args.workers,
                     infinite=True)
+    # i_img validation panels: render full frames from the training stream
+    # (the reference samples a val view each i_img steps, train.py:226-241)
+    from nerfool_tpu.utils.logging import ScalarLogger
+
+    logger = ScalarLogger(out_dir, "train")
+    val_loader = Loader(dataset, shuffle=True, seed=880, num_workers=1,
+                        infinite=True)
     trainer.train(
         iter(loader), args.n_iters, key=jax.random.PRNGKey(args.local_rank),
         i_print=args.i_print, i_weights=args.i_weights,
+        i_img=args.i_img, val_iter=iter(val_loader), logger=logger,
     )
     trainer.save(trainer.start_step + args.n_iters)
 

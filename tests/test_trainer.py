@@ -64,3 +64,20 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree.leaves(tr.params)[0]
     b = jax.tree.leaves(tr2.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_i_img_validation_panels(tmp_path):
+    """i_img renders a validation view and writes GT/pred/depth panels
+    (reference log_view_to_tb, train.py:248-314)."""
+    import os
+
+    from nerfool_tpu.utils.logging import ScalarLogger
+
+    tr, it = _trainer(tmp_path)
+    logger = ScalarLogger(str(tmp_path), "t")
+    tr.train(it, 2, key=jax.random.PRNGKey(1), i_print=1,
+             log_fn=lambda s: None, i_img=2, val_iter=it, logger=logger)
+    files = os.listdir(os.path.join(str(tmp_path), "images"))
+    assert any(f.startswith("val_pred_coarse") for f in files), files
+    assert any(f.startswith("val_depth_coarse") for f in files), files
+    assert any(f.startswith("val_gt_rgb") for f in files), files
