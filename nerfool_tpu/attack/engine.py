@@ -200,10 +200,16 @@ class AdvEvaluator:
             self._step_cache[key] = self.jax.jit(scan)
         return self._step_cache[key]
 
-    def attack_universal(self, verbose=False):
+    def attack_universal(self, verbose=False, ckpt_path=None):
         """Optimize one delta across train-split target views through the
         global source set (eval_adv.py:546-740). Returns (delta, src_glb,
-        perturbed_src_cameras)."""
+        perturbed_src_cameras).
+
+        ``ckpt_path``: optional attack-state checkpoint — the state (delta,
+        camera params, Adam moments, step) is saved every ``i_attack_ckpt``
+        iterations and a matching run resumes from it, making 1000-iteration
+        attacks restartable (the reference keeps attack state only in memory,
+        SURVEY.md §5)."""
         args = self.args
         train_dataset = dataset_dict[args.eval_dataset](
             args, "train", scenes=args.eval_scenes, **self.dataset_kwargs
@@ -230,6 +236,14 @@ class AdvEvaluator:
         t0 = time.perf_counter()
         data = first
         n_iters = args.adv_iters
+        start_iter = 0
+        ckpt_every = int(getattr(args, "i_attack_ckpt", 0) or 0)
+        if ckpt_path and os.path.exists(ckpt_path):
+            state, meta = load_attack_state(ckpt_path)
+            state = self.jax.tree.map(self.jax.numpy.asarray, state)
+            start_iter = int(meta.get("iters_done", 0))
+            if verbose:
+                print(f"  resuming universal attack from iter {start_iter}")
         # scan groups over PRE-STACKED target views: per-iteration host
         # dispatch leaves the device idle (op-profile: IDLE is the top cost on
         # relay-backed chips); stacking `group` streamed targets lets a
@@ -239,7 +253,7 @@ class AdvEvaluator:
             group -= 1
         scan = self._universal_scan_fn(cfg, group) if group > 1 else None
         keys = self.jax.random.split(self._split(), n_iters)
-        i = 0
+        i = start_iter
         while i < n_iters:
             batch = []
             for _ in range(group):
@@ -273,7 +287,11 @@ class AdvEvaluator:
             if verbose and (i % max(group, n_iters // 10)) < group:
                 print(f"  universal iter {i}/{n_iters} "
                       f"loss={last_loss:.5f} "
-                      f"({(time.perf_counter()-t0)/i*1e3:.0f} ms/iter)")
+                      f"({(time.perf_counter()-t0)/max(i-start_iter,1)*1e3:.0f} ms/iter)")
+            if ckpt_path and ckpt_every and (
+                i % ckpt_every < group or i >= n_iters
+            ):
+                save_attack_state(ckpt_path, state, {"iters_done": i})
         return self._finalize(state, src, cfg)
 
     def _universal_scan_fn(self, cfg, group):
@@ -399,7 +417,10 @@ class AdvEvaluator:
         if not args.no_attack and not args.view_specific:
             if verbose:
                 print("Attack with Adv Perturbations Generalizable across Views...")
-            delta, src_glb, cams_glb = self.attack_universal(verbose=verbose)
+            ckpt = (os.path.join(out_dir, "attack_state.pkl")
+                    if out_dir and getattr(args, "i_attack_ckpt", 0) else None)
+            delta, src_glb, cams_glb = self.attack_universal(
+                verbose=verbose, ckpt_path=ckpt)
         elif args.no_attack and not args.view_specific:
             src_dataset = dataset_dict[args.eval_dataset](
                 args, "test", scenes=args.eval_scenes,

@@ -129,6 +129,11 @@ def config_parser():
     # view-specific attack iterations per device execution (lax.scan group):
     # amortizes host dispatch; 1 restores the reference's per-iter host loop
     parser.add_argument("--scan_group", type=int, default=25)
+    # checkpoint the universal-attack state (delta, camera params, Adam
+    # moments) every N iterations into out_dir/attack_state.pkl and resume
+    # from it on restart; 0 disables (the reference keeps attack state only
+    # in memory — SURVEY.md §5)
+    parser.add_argument("--i_attack_ckpt", type=int, default=0)
     # gnt-specific
     parser.add_argument("--netwidth", type=int, default=64)
     parser.add_argument("--trans_depth", type=int, default=4)

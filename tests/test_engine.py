@@ -175,3 +175,29 @@ def test_code_snapshot(tmp_path):
     assert any(n == "nerfool_tpu/attack/attack.py" for n in names)
     assert any(n.startswith("scripts/") for n in names)
     assert any(n.startswith("configs/") and n.endswith(".txt") for n in names)
+
+
+def test_universal_attack_checkpoint_resume(tmp_path, small_kwargs):
+    """Universal attack saves its state every i_attack_ckpt iterations and a
+    restarted run resumes from the saved iteration (SURVEY §5: the reference
+    keeps attack state only in memory)."""
+    from nerfool_tpu.attack.engine import AdvEvaluator, load_attack_state
+
+    args = _engine_args(tmp_path, use_adam=True, adam_lr="1e-2")
+    args.view_specific = False
+    args.adv_iters = 4
+    args.i_attack_ckpt = 2
+    args.scan_group = 2
+    ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+    ckpt = str(tmp_path / "attack_state.pkl")
+    delta1, _, _ = ev.attack_universal(ckpt_path=ckpt)
+    state, meta = load_attack_state(ckpt)
+    assert meta["iters_done"] == 4
+    assert state["step"] == 4
+    np.testing.assert_allclose(np.asarray(delta1), state["delta"], atol=1e-6)
+
+    # a fresh evaluator resumes instead of restarting: with iters_done ==
+    # adv_iters the loop body is skipped and the checkpointed delta returns
+    ev2 = AdvEvaluator(args, bundle=ev.bundle, dataset_kwargs=small_kwargs)
+    delta2, _, _ = ev2.attack_universal(ckpt_path=ckpt)
+    np.testing.assert_allclose(np.asarray(delta2), np.asarray(delta1), atol=1e-6)
