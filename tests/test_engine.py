@@ -201,3 +201,25 @@ def test_universal_attack_checkpoint_resume(tmp_path, small_kwargs):
     ev2 = AdvEvaluator(args, bundle=ev.bundle, dataset_kwargs=small_kwargs)
     delta2, _, _ = ev2.attack_universal(ckpt_path=ckpt)
     np.testing.assert_allclose(np.asarray(delta2), np.asarray(delta1), atol=1e-6)
+
+
+def test_clean_eval_beats_attacked(tmp_path, small_kwargs):
+    """no_attack (scripts/eval.py path) renders clean frames; its PSNR must
+    beat the attacked run's on the same scene/model."""
+    from nerfool_tpu.attack.engine import AdvEvaluator
+
+    args = _engine_args(tmp_path, use_adam=True, adam_lr="1e-2")
+    args.view_specific = False
+    args.no_attack = True
+    ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+    clean = ev.evaluate(out_dir=None, save_images=False, verbose=False,
+                        max_views=1)
+    args2 = _engine_args(tmp_path, use_adam=True, adam_lr="1e-2",
+                         use_pseudo_gt=True)
+    args2.view_specific = False
+    ev2 = AdvEvaluator(args2, bundle=ev.bundle, dataset_kwargs=small_kwargs)
+    attacked = ev2.evaluate(out_dir=None, save_images=False, verbose=False,
+                            max_views=1)
+    ds = args.eval_dataset
+    assert clean[ds]["coarse_mean_psnr"] > attacked[ds]["coarse_mean_psnr"], (
+        clean[ds]["coarse_mean_psnr"], attacked[ds]["coarse_mean_psnr"])
