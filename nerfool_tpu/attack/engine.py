@@ -14,6 +14,7 @@ from __future__ import annotations
 import sys
 import os
 import time
+import warnings
 
 import numpy as np
 
@@ -431,7 +432,10 @@ class AdvEvaluator:
             delta = jnp.zeros_like(src_glb["rgbs"])
 
         results = {scene: {}}
-        sums = np.zeros(6)
+        # per-view metric rows; means are nan-aware so absent metrics (no
+        # LPIPS weights, missing coarse/fine level) are excluded rather than
+        # recorded as fake perfect 0.0 scores
+        rows_acc = []
         n_views = len(self.test_dataset)
         if max_views:
             n_views = min(n_views, max_views)
@@ -464,13 +468,18 @@ class AdvEvaluator:
             for li, level in enumerate(("outputs_coarse", "outputs_fine")):
                 name = "coarse" if li == 0 else "fine"
                 if ret[level] is None:
-                    row[f"{name}_psnr"] = row[f"{name}_ssim"] = row[f"{name}_lpips"] = 0.0
+                    # absent level (e.g. GNT with N_importance=0): NaN, never 0.0
+                    row[f"{name}_psnr"] = row[f"{name}_ssim"] = float("nan")
+                    row[f"{name}_lpips"] = float("nan")
                     continue
                 pred = np.clip(np.asarray(ret[level]["rgb"]), 0, 1)
                 row[f"{name}_psnr"] = float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt)))
                 row[f"{name}_ssim"] = float(ssim_fn(jnp.asarray(pred), jnp.asarray(gt)))
+                # without weights LPIPS is unmeasurable: NaN (excluded from
+                # means), matching the reference protocol only when weights ship
                 row[f"{name}_lpips"] = (
-                    float(lpips_fn(pred[None], gt[None])[0]) if lpips_fn else 0.0
+                    float(lpips_fn(pred[None], gt[None])[0])
+                    if lpips_fn else float("nan")
                 )
                 if save_images and out_dir:
                     self._save_view_images(out_dir, file_id, name, pred, gt,
@@ -486,11 +495,13 @@ class AdvEvaluator:
                         )
 
             results[scene][file_id] = row
-            sums += np.array([row["coarse_psnr"], row["fine_psnr"],
-                              row["coarse_ssim"], row["fine_ssim"],
-                              row["coarse_lpips"], row["fine_lpips"]])
+            rows_acc.append([row["coarse_psnr"], row["fine_psnr"],
+                             row["coarse_ssim"], row["fine_ssim"],
+                             row["coarse_lpips"], row["fine_lpips"]])
             if verbose:
-                m = sums / (i + 1)
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    m = np.nanmean(np.array(rows_acc), axis=0)
                 print(
                     f"{scene} {file_id}: coarse/fine psnr "
                     f"{row['coarse_psnr']:.3f}/{row['fine_psnr']:.3f}  "
@@ -498,7 +509,10 @@ class AdvEvaluator:
                     f"lpips {m[4]:.3f}/{m[5]:.3f}"
                 )
 
-        means = sums / max(n_views, 1)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            means = (np.nanmean(np.array(rows_acc), axis=0)
+                     if rows_acc else np.full(6, np.nan))
         results[scene]["coarse_mean_psnr"] = float(means[0])
         results[scene]["fine_mean_psnr"] = float(means[1])
         results[scene]["coarse_mean_ssim"] = float(means[2])
@@ -512,8 +526,9 @@ class AdvEvaluator:
 
     def _build_lpips(self):
         if not getattr(self.args, "lpips_weights", ""):
-            print("WARNING: --lpips_weights not set; LPIPS will report 0.0 "
-                  "(export weights with scripts/export_lpips_weights.py)",
+            print("WARNING: --lpips_weights not set; LPIPS is unmeasurable and "
+                  "will be recorded as NaN / excluded from means (export "
+                  "weights with scripts/export_lpips_weights.py)",
                   file=sys.stderr)
             return None
         import jax.numpy as jnp

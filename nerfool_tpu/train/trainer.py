@@ -163,9 +163,17 @@ class Trainer:
     cfg: TrainConfig
     out_dir: str = "out/exp"
     start_step: int = 0
+    # NamedSharding splitting the ray axis over a device mesh (parallel.mesh
+    # .shard_rays). Replaces the reference's DDP/NCCL data parallelism
+    # (train.py:360-363, ibrnet/model.py:78-96): rays shard, params replicate,
+    # GSPMD psums the gradients over the mesh.
+    ray_sharding: Optional[object] = None
 
     def __post_init__(self):
-        self.step_fn, self.opt = make_train_step(self.bundle, self.render_cfg, self.cfg)
+        self.step_fn, self.opt = make_train_step(
+            self.bundle, self.render_cfg, self.cfg,
+            ray_sharding=self.ray_sharding,
+        )
         self.step_jit = jax.jit(self.step_fn)
         self.params = self.bundle.params
         self.opt_state = self.opt.init(self.params)

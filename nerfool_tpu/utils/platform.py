@@ -1,0 +1,21 @@
+"""Platform selection honoring JAX_PLATFORMS under relay-registered backends.
+
+Some environments register an out-of-tree TPU backend (e.g. an 'axon' relay)
+with priority over the JAX_PLATFORMS environment variable, so
+``JAX_PLATFORMS=cpu python scripts/...`` would still land on the TPU and pay
+its remote-compile latency. Entry scripts call :func:`apply_platform_env`
+before any device query to route the request through jax.config, which the
+relay respects (tests/conftest.py does the same for the virtual CPU mesh).
+"""
+from __future__ import annotations
+
+import os
+
+
+def apply_platform_env():
+    plat = os.environ.get("JAX_PLATFORMS", "").strip()
+    if not plat:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", plat)

@@ -7,6 +7,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nerfool_tpu.config import config_parser
+from nerfool_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
 
 
 def main():

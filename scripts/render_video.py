@@ -11,6 +11,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from nerfool_tpu.config import config_parser
+from nerfool_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
 
 
 def main():

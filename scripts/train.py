@@ -11,6 +11,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nerfool_tpu.config import config_parser
+from nerfool_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
 
 
 def main():
@@ -48,7 +51,17 @@ def main():
 
     save_run_config(out_dir, args)
     save_code_snapshot(out_dir)
-    trainer = Trainer(bundle, render_cfg, cfg, out_dir=out_dir)
+    # multi-chip: shard the ray axis over all devices (the reference's DDP
+    # equivalent; --distributed forces it on, single-device runs skip it)
+    ray_sharding = None
+    if args.distributed or len(jax.devices()) > 1:
+        from nerfool_tpu.parallel.mesh import get_mesh, shard_rays
+
+        mesh = get_mesh()
+        ray_sharding = shard_rays(mesh)
+        print(f"training with ray-axis sharding over {mesh.devices.size} devices")
+    trainer = Trainer(bundle, render_cfg, cfg, out_dir=out_dir,
+                      ray_sharding=ray_sharding)
     if not args.no_reload:
         start = trainer.load_latest(load_opt=not args.no_load_opt)
         print(f"resuming from step {start}")

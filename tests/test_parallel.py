@@ -66,3 +66,55 @@ def test_sharded_attack_step_matches_single_device(rng):
     assert cos > 0.999, cos
     sign_agree = float(np.mean(np.sign(up_ref) == np.sign(up_sh)))
     assert sign_agree > 0.99, sign_agree
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    """Ray-sharded training step == single-device step (the reference's DDP
+    gradient all-reduce semantics, train.py:360-363 / ibrnet/model.py:78-96)."""
+    from nerfool_tpu.train.trainer import TrainConfig, make_train_step
+
+    assert len(jax.devices()) == 8
+    target_cam, src_rgbs, src_cams, _, depth_range = synthetic_scene(
+        rng, n_src=3, h=H, w=W
+    )
+    bundle = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(5))
+    render_cfg = RenderConfig(n_samples=12, n_importance=0, det=True,
+                              backbone="ibrnet")
+    cfg = TrainConfig(h=H, w=W, n_rand=64)
+    batch = {
+        "camera": jnp.asarray(target_cam),
+        "rgb": jnp.asarray(rng.rand(H * W, 3).astype(np.float32)),
+        "depth_range": jnp.asarray(depth_range),
+        "src_rgbs": jnp.asarray(src_rgbs),
+        "src_cameras": jnp.asarray(src_cams),
+    }
+    key = jax.random.PRNGKey(3)
+
+    ref_step, ref_opt = make_train_step(bundle, render_cfg, cfg)
+    o0 = ref_opt.init(bundle.params)
+    p_ref, _, aux_ref = jax.jit(ref_step)(bundle.params, o0, batch, key)
+
+    mesh = get_mesh()
+    sh_step, _ = make_train_step(bundle, render_cfg, cfg,
+                                 ray_sharding=shard_rays(mesh))
+    rep = replicate(mesh)
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
+    with mesh:
+        p_sh, _, aux_sh = jax.jit(sh_step)(put(bundle.params), put(o0),
+                                           put(batch), key)
+
+    np.testing.assert_allclose(float(aux_sh["loss"]), float(aux_ref["loss"]),
+                               rtol=1e-4)
+    # parameter updates must agree directionally (Adam first step is
+    # sign-like; psum reorders the f32 summation)
+    up_ref = np.concatenate([
+        (np.asarray(b) - np.asarray(a)).reshape(-1)
+        for a, b in zip(jax.tree.leaves(bundle.params), jax.tree.leaves(p_ref))
+    ])
+    up_sh = np.concatenate([
+        (np.asarray(b) - np.asarray(a)).reshape(-1)
+        for a, b in zip(jax.tree.leaves(bundle.params), jax.tree.leaves(p_sh))
+    ])
+    cos = float(np.dot(up_ref, up_sh)
+                / (np.linalg.norm(up_ref) * np.linalg.norm(up_sh) + 1e-12))
+    assert cos > 0.999, cos
