@@ -107,7 +107,8 @@ def plan_groups(target_cams, src_cams, depth_range, hw_sample, p,
             np.arange(0, h, ray_stride, dtype=np.float64),
             np.arange(0, w, ray_stride, dtype=np.float64), indexing="ij",
         )
-        pix = np.stack([xs.ravel() + 0.5, ys.ravel() + 0.5, np.ones(xs.size)])
+        # pixel convention matches utils.cameras.get_rays (no half-pixel shift)
+        pix = np.stack([xs.ravel(), ys.ravel(), np.ones(xs.size)])
         dirs = c2w[:3, :3] @ (np.linalg.inv(intr[:3, :3]) @ pix)  # [3, N]
         o = c2w[:3, 3:4]
         for vi, scam in enumerate(src_cams):
@@ -146,14 +147,16 @@ def plan_groups(target_cams, src_cams, depth_range, hw_sample, p,
     return tuple(groups)
 
 
-def _clip_segment_np(pa, pb, w_s, h_s, sx=1.0, sy=1.0):
+def _clip_segment_np(pa, pb, w_s, h_s, sx=1.0, sy=1.0, margin=0.0):
     """Clip homogeneous segment pa->pb: z>eps portion, perspective divide,
-    rescale to the sampled grid, Liang-Barsky to [-1, w_s] x [-1, h_s]
-    (numpy, planner only).
+    rescale to the sampled grid, Liang-Barsky to [-1-margin, w_s+margin] x
+    [-1-margin, h_s+margin] (numpy, planner only).
 
-    The clip rect extends one cell past the last pixel on each side: taps at
+    The base rect extends one cell past the last pixel on each side: taps at
     x in (n-1, n) still contribute through their in-range corner and clamp to
-    base cell n, so the walk must cover that cell's patch.
+    base cell n, so the walk must cover that cell's patch. BSPG additionally
+    expands by ``margin`` cells so a block's center path keeps tracking the
+    in-rect portion of its tube when the center line grazes the border.
     """
     za, zb = pa[2], pb[2]
     dz = zb - za
@@ -172,7 +175,8 @@ def _clip_segment_np(pa, pb, w_s, h_s, sx=1.0, sy=1.0):
     d = qb - qa
     s0 = np.zeros(qa.shape[1])
     s1 = np.ones(qa.shape[1])
-    for axis, lo, hi in ((0, -1.0, float(w_s)), (1, -1.0, float(h_s))):
+    m = float(margin)
+    for axis, lo, hi in ((0, -1.0 - m, w_s + m), (1, -1.0 - m, h_s + m)):
         for pq, q in ((-d[axis], qa[axis] - lo), (d[axis], hi - qa[axis])):
             with np.errstate(divide="ignore", invalid="ignore"):
                 r = np.where(np.abs(pq) > 1e-12, q / np.where(
@@ -183,7 +187,8 @@ def _clip_segment_np(pa, pb, w_s, h_s, sx=1.0, sy=1.0):
     bad = s1 < s0
     s0 = np.where(bad, 0.0, s0)
     s1 = np.where(bad, 0.0, s1)
-    lohi = lambda q: np.clip(q, [[-1.0], [-1.0]], [[float(w_s)], [float(h_s)]])
+    lohi = lambda q: np.clip(q, [[-1.0 - m], [-1.0 - m]],
+                             [[w_s + m], [h_s + m]])
     return lohi(qa + s0 * d), lohi(qa + s1 * d)
 
 
@@ -231,7 +236,7 @@ def project_endpoints(p0, p1, src_cameras):
     return prj(p0), prj(p1)
 
 
-def _clip_segment(pa, pb, spec: "SPGSpec"):
+def _clip_segment(pa, pb, spec: "SPGSpec", margin=0.0):
     """In-graph twin of _clip_segment_np: [V?, R, 3] homogeneous endpoints ->
     clipped continuous SAMPLED-grid coords (ax, ay, bx, by), each [V?, R].
 
@@ -254,13 +259,15 @@ def _clip_segment(pa, pb, spec: "SPGSpec"):
 
     ax, ay = div(qa_h)
     bx, by = div(qb_h)
-    w_s, h_s = float(spec.w), float(spec.h)
+    m = float(margin)
+    w_s, h_s = float(spec.w) + m, float(spec.h) + m
+    lo = -1.0 - m
     dx, dy = bx - ax, by - ay
     s0 = jnp.zeros_like(ax)
     s1 = jnp.ones_like(ax)
     for pq, q in (
-        (-dx, ax + 1.0), (dx, w_s - ax),
-        (-dy, ay + 1.0), (dy, h_s - ay),
+        (-dx, ax - lo), (dx, w_s - ax),
+        (-dy, ay - lo), (dy, h_s - ay),
     ):
         safe = jnp.where(jnp.abs(pq) > 1e-12, pq, 1.0)
         r = q / safe
@@ -270,7 +277,7 @@ def _clip_segment(pa, pb, spec: "SPGSpec"):
     bad = s1 < s0
     s0 = jnp.where(bad, 0.0, s0)
     s1 = jnp.where(bad, 0.0, s1)
-    cl = lambda x, n: jnp.clip(x, -1.0, n)
+    cl = lambda x, n: jnp.clip(x, lo, n)
     return (cl(ax + s0 * dx, w_s), cl(ay + s0 * dy, h_s),
             cl(ax + s1 * dx, w_s), cl(ay + s1 * dy, h_s))
 
@@ -369,14 +376,11 @@ def gather_patches(table, slots_groups, spec: SPGSpec):
     return out
 
 
-def _sample_weights(ix, iy, spec: SPGSpec, dt):
-    """Per-sample selection ingredients from UNclipped sampled-grid coords.
-
-    :param ix, iy: [Vg, R, S] continuous coords on the sampled grid
-    :return: (pid [Vg,R,S] int32, wy [Vg,R,S,P+1], wx [Vg,R,S,P+1])
-        wy/wx carry the bilinear fractions AND per-corner zero-padding
-        validity, exactly as grid_sample.gather_bilinear_planes.
-    """
+def _sample_ingredients(ix, iy, spec: SPGSpec, dt):
+    """Raw per-sample selection ingredients from UNclipped sampled-grid
+    coords: patch id, in-patch offsets, bilinear fractions, per-corner
+    zero-padding validity (exactly grid_sample.gather_bilinear_planes
+    semantics)."""
     p = spec.p
     x0 = jnp.floor(ix)
     y0 = jnp.floor(iy)
@@ -389,16 +393,28 @@ def _sample_weights(ix, iy, spec: SPGSpec, dt):
     pid = pby * spec.pbx + pbx
     lx = cbx - pbx * p  # [0, P-1]
     ly = cby - pby * p
+    vld = lambda c0, n: ((c0 >= 0) & (c0 <= n - 1)).astype(dt)
+    return dict(
+        pid=pid, ly=ly, fy=fy, vy0=vld(y0, spec.h), vy1=vld(y0 + 1, spec.h),
+        lx=lx, fx=fx, vx0=vld(x0, spec.w), vx1=vld(x0 + 1, spec.w),
+    )
 
-    def onehot2(l, f, c0, n):
-        v0 = ((c0 >= 0) & (c0 <= n - 1)).astype(dt)
-        v1 = ((c0 + 1 >= 0) & (c0 + 1 <= n - 1)).astype(dt)
+
+def _sample_weights(ix, iy, spec: SPGSpec, dt):
+    """Per-sample selection ingredients composed into one-hot row/col weights.
+
+    :return: (pid [Vg,R,S] int32, wy [Vg,R,S,P+1], wx [Vg,R,S,P+1])
+    """
+    p = spec.p
+    ing = _sample_ingredients(ix, iy, spec, dt)
+
+    def onehot2(l, f, v0, v1):
         return (jax.nn.one_hot(l, p + 1, dtype=dt) * ((1.0 - f) * v0)[..., None]
                 + jax.nn.one_hot(l + 1, p + 1, dtype=dt) * (f * v1)[..., None])
 
-    wy = onehot2(ly, fy, y0, spec.h)
-    wx = onehot2(lx, fx, x0, spec.w)
-    return pid, wy, wx
+    wy = onehot2(ing["ly"], ing["fy"], ing["vy0"], ing["vy1"])
+    wx = onehot2(ing["lx"], ing["fx"], ing["vx0"], ing["vx1"])
+    return ing["pid"], wy, wx
 
 
 def select_samples(g_groups, slots_groups, gx, gy, spec: SPGSpec, c):

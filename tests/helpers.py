@@ -57,3 +57,36 @@ def synthetic_scene(rng, n_src=4, h=32, w=40, feat_ch=32):
     feat_f = smooth_images(rng, n_src, h // 2, w // 2, feat_ch) - 0.5
     depth_range = np.array([[2.0, 6.0]], dtype=np.float32)
     return target_cam, src_rgbs, src_cams, (feat_c, feat_f), depth_range
+
+
+def llff_rig_cameras(n, h, w, seed=7, focal=None):
+    """Forward-facing LLFF-style rig: cameras jittered in a shallow box,
+    looking roughly down +z at a scene a few units away — the geometry the
+    reference's llff_test nearest-view selection produces (small baselines,
+    strongly overlapping views)."""
+    rs = np.random.RandomState(seed)
+    focal = focal or 0.8 * w
+    cams = []
+    for _ in range(n):
+        eye = np.array([
+            rs.uniform(-0.25, 0.25), rs.uniform(-0.12, 0.12),
+            rs.uniform(-0.08, 0.08),
+        ])
+        tgt = np.array([rs.uniform(-0.2, 0.2), rs.uniform(-0.2, 0.2), 3.5])
+        k = np.eye(4, dtype=np.float32)
+        k[0, 0] = k[1, 1] = focal
+        k[0, 2], k[1, 2] = w / 2.0, h / 2.0
+        cams.append(make_camera_vector(h, w, k.astype(np.float32),
+                                       look_at(eye, tgt)))
+    return np.stack(cams).astype(np.float32)
+
+
+def llff_rig_scene(rng, n_src=4, h=32, w=40, feat_ch=32, seed=7):
+    """Forward-facing twin of synthetic_scene (depth range ~ LLFF fern)."""
+    cams = llff_rig_cameras(n_src + 1, h, w, seed=seed)
+    target_cam, src_cams = cams[0], cams[1:]
+    src_rgbs = smooth_images(rng, n_src, h, w)
+    feat_c = smooth_images(rng, n_src, h // 2, w // 2, feat_ch) - 0.5
+    feat_f = smooth_images(rng, n_src, h // 2, w // 2, feat_ch) - 0.5
+    depth_range = np.array([[1.08, 7.6]], dtype=np.float32)
+    return target_cam, src_rgbs, src_cams, (feat_c, feat_f), depth_range

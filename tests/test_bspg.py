@@ -1,0 +1,160 @@
+"""Block segment-patch gather: exact parity with the per-tap bilinear gather
+for raster ray blocks of a real projected scene (coverage through the dilated
+center-path walk, planner-verified tube bound)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from helpers import llff_rig_scene, synthetic_scene
+
+from nerfool_tpu.ops.grid_sample import gather_bilinear_planes
+from nerfool_tpu.ops import bspg
+from nerfool_tpu.ops.spg import project_endpoints
+from nerfool_tpu.render.projection import project_points_planes
+from nerfool_tpu.render.sampling import sample_along_camera_ray
+from nerfool_tpu.utils.cameras import get_rays
+
+H = W = 32
+BLOCK = (4, 4)
+
+
+def _block_rays(rays_o, rays_d, h, w, bh, bw):
+    """Raster rays [h*w, 3] -> block-major [B, bh*bw, 3]."""
+    def blk(x):
+        x = x.reshape(h // bh, bh, w // bw, bw, 3)
+        return x.transpose(0, 2, 1, 3, 4).reshape(-1, bh * bw, 3)
+    return blk(rays_o), blk(rays_d)
+
+
+def _setup(rng, n_src=4, n_samples=12, images=None, scale=1):
+    target_cam, src_rgbs, src_cams, _, depth_range = llff_rig_scene(
+        rng, n_src=n_src, h=H, w=W
+    )
+    if images is None:
+        hs, ws = (H - 1) // scale + 1, (W - 1) // scale + 1
+        images = rng.rand(n_src, hs, ws, 3).astype(np.float32)
+    hs, ws = images.shape[1:3]
+
+    intr = target_cam[2:18].reshape(4, 4)
+    c2w = target_cam[18:34].reshape(4, 4)
+    rays_o, rays_d = get_rays(H, W, jnp.asarray(intr), jnp.asarray(c2w))
+    pts, z_vals = sample_along_camera_ray(
+        rays_o, rays_d, jnp.asarray(depth_range), n_samples, det=True
+    )
+    bh, bw = BLOCK
+    ro_b, rd_b = _block_rays(np.asarray(rays_o), np.asarray(rays_d), H, W, bh, bw)
+    b = ro_b.shape[0]
+
+    groups, r_max = bspg.plan_block_groups(
+        target_cam[None], src_cams, depth_range.reshape(-1), (hs, ws),
+        p=12, block=BLOCK,
+    )
+    spec = bspg.make_block_spec(groups, 12, (hs, ws), (H, W), block=BLOCK)
+
+    # corner rays of each block: indices 0, bw-1, (bh-1)*bw, bh*bw-1
+    cidx = np.array([0, bw - 1, (bh - 1) * bw, bh * bw - 1])
+    near, far = float(depth_range[0, 0]), float(depth_range[0, 1])
+    pa_c = ro_b[:, cidx] + rd_b[:, cidx] * near  # [B, 4, 3]
+    pb_c = ro_b[:, cidx] + rd_b[:, cidx] * far
+    pa, pb = project_endpoints(jnp.asarray(pa_c.reshape(-1, 3)),
+                               jnp.asarray(pb_c.reshape(-1, 3)),
+                               jnp.asarray(src_cams))
+    v = src_cams.shape[0]
+    pa = pa.reshape(v, b, 4, 3)
+    pb = pb.reshape(v, b, 4, 3)
+
+    # per-sample normalized coords through the real projector
+    flat = pts.reshape(-1, 3)
+    px, py, _ = project_points_planes(flat, jnp.asarray(src_cams))
+    gx = 2.0 * px / (W - 1.0) - 1.0
+    gy = 2.0 * py / (H - 1.0) - 1.0
+    return (images, spec, pa, pb, gx, gy, src_cams, pts, z_vals,
+            rays_o, rays_d, b)
+
+
+def _to_blocks(gx, h, w, bh, bw, s):
+    """[V, h*w*s] -> [V, B, bh*bw, S] matching block-major ray order."""
+    v = gx.shape[0]
+    x = gx.reshape(v, h // bh, bh, w // bw, bw, s)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        v, (h // bh) * (w // bw), bh * bw, s
+    )
+
+
+@pytest.mark.parametrize("scale", [1, 4])
+def test_bspg_matches_per_tap(rng, scale):
+    (images, spec, pa, pb, gx, gy, src_cams, pts, z_vals,
+     rays_o, rays_d, b) = _setup(rng, scale=scale)
+    s = pts.shape[1]
+    ref = gather_bilinear_planes(jnp.asarray(images), gx, gy)
+
+    table = bspg.pack_patch_table(jnp.asarray(images), spec.p)
+    slots = bspg.build_block_slots(pa, pb, spec)
+    g = bspg.gather_block_patches(table, slots, spec)
+    gxb = _to_blocks(gx, H, W, *BLOCK, s)
+    gyb = _to_blocks(gy, H, W, *BLOCK, s)
+    out = bspg.select_block_samples(g, slots, gxb, gyb, spec, 3)
+    ref_b = _to_blocks(ref.reshape(ref.shape[0], -1), H, W, *BLOCK,
+                       s * 3).reshape(out.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bspg_fine_samples_reuse_slots(rng):
+    """Fine z-values (arbitrary within [near, far]) select exactly from the
+    slots built for the block — no re-gather needed for the fine pass."""
+    (images, spec, pa, pb, _, _, src_cams, pts, z_vals,
+     rays_o, rays_d, b) = _setup(rng)
+    s_fine = 17
+    zr = np.asarray(z_vals)
+    z_fine = (zr[:, :1] + (zr[:, -1:] - zr[:, :1])
+              * np.sort(np.random.RandomState(5).rand(zr.shape[0], s_fine), -1))
+    pts_f = (jnp.asarray(z_fine)[..., None] * rays_d[:, None, :]
+             + rays_o[:, None, :])
+    px, py, _ = project_points_planes(pts_f.reshape(-1, 3),
+                                      jnp.asarray(src_cams))
+    gx = 2.0 * px / (W - 1.0) - 1.0
+    gy = 2.0 * py / (H - 1.0) - 1.0
+    ref = gather_bilinear_planes(jnp.asarray(images), gx, gy)
+
+    table = bspg.pack_patch_table(jnp.asarray(images), spec.p)
+    slots = bspg.build_block_slots(pa, pb, spec)
+    g = bspg.gather_block_patches(table, slots, spec)
+    gxb = _to_blocks(gx, H, W, *BLOCK, s_fine)
+    gyb = _to_blocks(gy, H, W, *BLOCK, s_fine)
+    out = bspg.select_block_samples(g, slots, gxb, gyb, spec, 3)
+    ref_b = _to_blocks(ref.reshape(ref.shape[0], -1), H, W, *BLOCK,
+                       s_fine * 3).reshape(out.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bspg_planner_rejects_oversized_tube():
+    """A huge block with a tiny patch must violate r + 2 <= p and raise."""
+    rng = np.random.RandomState(0)
+    target_cam, _, src_cams, _, depth_range = synthetic_scene(
+        rng, n_src=2, h=H, w=W
+    )
+    with pytest.raises(ValueError, match="dilation bound"):
+        bspg.plan_block_groups(
+            target_cam[None], src_cams, depth_range.reshape(-1), (H, W),
+            p=2, block=(16, 16),
+        )
+
+
+def test_bspg_pallas_select_matches_xla(rng):
+    """Pallas selection kernel (interpret mode on CPU) == XLA selection."""
+    (images, spec, pa, pb, gx, gy, src_cams, pts, z_vals,
+     rays_o, rays_d, b) = _setup(rng)
+    s = pts.shape[1]
+    table = bspg.pack_patch_table(jnp.asarray(images), spec.p)
+    slots = bspg.build_block_slots(pa, pb, spec)
+    g = bspg.gather_block_patches(table, slots, spec)
+    gxb = _to_blocks(gx, H, W, *BLOCK, s)
+    gyb = _to_blocks(gy, H, W, *BLOCK, s)
+    ref = bspg.select_block_samples(g, slots, gxb, gyb, spec, 3)
+    out = bspg.select_block_samples(g, slots, gxb, gyb, spec, 3,
+                                    use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
