@@ -34,6 +34,9 @@ FEATURE_DTYPE = os.environ.get("BENCH_FEATURE_DTYPE", "float32")  # ResUNet conv
 REMAT = os.environ.get("BENCH_REMAT", "1") == "1"  # feature-net remat in bwd
 REUSE_TAPS = os.environ.get("BENCH_REUSE_TAPS", "1") == "1"  # fine-pass tap reuse
 USE_PALLAS = os.environ.get("BENCH_USE_PALLAS", "0") == "1"  # fused aggregation kernel
+SCENE = os.environ.get("BENCH_SCENE", "llff")  # llff (nearest-view rig) | arc
+USE_BSPG = os.environ.get("BENCH_BSPG", "1") == "1"  # block segment-patch gather
+BSPG_PALLAS = os.environ.get("BENCH_BSPG_PALLAS", "1") == "1"  # Pallas selection
 
 
 def log(*a):
@@ -54,25 +57,53 @@ def main():
     log(f"devices: {jax.devices()}")
     rng = np.random.RandomState(0)
 
-    # synthetic flagship-scale scene
-    cams = []
-    for i in range(N_SRC + 1):
-        theta = 0.5 * np.pi * i / (N_SRC + 1)
-        eye = np.array([4 * np.sin(theta), 1.4, -4 * np.cos(theta)], dtype=np.float32)
-        fwd = -eye / np.linalg.norm(eye)
-        up = np.array([0.0, -1.0, 0.0])
-        right = np.cross(up, fwd); right /= np.linalg.norm(right)
-        down = np.cross(fwd, right)
-        c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, eye
-        k = np.eye(4, dtype=np.float32)
-        k[0, 0] = k[1, 1] = 0.8 * W
-        k[0, 2], k[1, 2] = W / 2, H / 2
-        cams.append(make_camera_vector(H, W, k, c2w))
-    cams = np.stack(cams).astype(np.float32)
+    # synthetic flagship-scale scene. Default geometry mirrors the reference's
+    # actual LLFF eval workload (llff_test picks the 10 NEAREST views of a
+    # forward-facing rig -> small baselines, llff_test.py:137-142); the round-1
+    # 45-degree arc (BENCH_SCENE=arc) had several-fold longer epipolar
+    # segments than any real LLFF source set and is kept for comparison only.
+    if SCENE == "arc":
+        cams = []
+        for i in range(N_SRC + 1):
+            theta = 0.5 * np.pi * i / (N_SRC + 1)
+            eye = np.array([4 * np.sin(theta), 1.4, -4 * np.cos(theta)],
+                           dtype=np.float32)
+            fwd = -eye / np.linalg.norm(eye)
+            up = np.array([0.0, -1.0, 0.0])
+            right = np.cross(up, fwd); right /= np.linalg.norm(right)
+            down = np.cross(fwd, right)
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, eye
+            k = np.eye(4, dtype=np.float32)
+            k[0, 0] = k[1, 1] = 0.8 * W
+            k[0, 2], k[1, 2] = W / 2, H / 2
+            cams.append(make_camera_vector(H, W, k, c2w))
+        cams = np.stack(cams).astype(np.float32)
+        depth_range = np.array([[2.0, 6.0]], dtype=np.float32)
+    else:  # llff-like forward-facing rig (fern-style depth range)
+        rigrs = np.random.RandomState(7)
+        cams = []
+        for _ in range(N_SRC + 1):
+            eye = np.array([rigrs.uniform(-0.25, 0.25),
+                            rigrs.uniform(-0.12, 0.12),
+                            rigrs.uniform(-0.08, 0.08)])
+            tgt = np.array([rigrs.uniform(-0.2, 0.2),
+                            rigrs.uniform(-0.2, 0.2), 3.5])
+            fwd = tgt - eye; fwd = fwd / np.linalg.norm(fwd)
+            up = np.array([0.0, -1.0, 0.0])
+            right = np.cross(up, fwd); right /= np.linalg.norm(right)
+            down = np.cross(fwd, right)
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, eye
+            k = np.eye(4, dtype=np.float32)
+            k[0, 0] = k[1, 1] = 0.8 * W
+            k[0, 2], k[1, 2] = W / 2, H / 2
+            cams.append(make_camera_vector(H, W, k.astype(np.float32),
+                                           c2w.astype(np.float32)))
+        cams = np.stack(cams).astype(np.float32)
+        depth_range = np.array([[1.08, 7.6]], dtype=np.float32)
     target_cam, src_cams = cams[0], cams[1:]
     src_rgbs = rng.rand(N_SRC, H, W, 3).astype(np.float32)
-    depth_range = np.array([[2.0, 6.0]], dtype=np.float32)
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
@@ -102,6 +133,34 @@ def main():
     c2w = target_cam[18:34].reshape(4, 4)
     rays_o, rays_d = get_rays(H, W, jnp.asarray(intr), jnp.asarray(c2w))
     n_rays = rays_o.shape[0]
+
+    if USE_BSPG:
+        import dataclasses as _dc
+
+        from nerfool_tpu.ops.bspg import plan_render_specs
+
+        specs = plan_render_specs(
+            target_cam[None], src_cams, depth_range.reshape(-1),
+            (H, W), feats[0].shape[1:3], block=(8, 8),
+        )
+        if specs is None:
+            log("BSPG planner found no admissible patch size; per-tap path")
+        else:
+            cfg = _dc.replace(cfg, bspg_specs=specs, bspg_pallas=BSPG_PALLAS)
+            log(f"BSPG: feat p={specs[0].p} groups={specs[0].groups} | "
+                f"rgb p={specs[1].p} groups={specs[1].groups}")
+            # block-major ray order (render_image does this internally; the
+            # bench drives _render_blocked_jit directly)
+            bh, bw = specs[0].block
+            hp, wp = -(-H // bh) * bh, -(-W // bw) * bw
+            yy, xx = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
+            sidx = np.minimum(yy, H - 1) * W + np.minimum(xx, W - 1)
+            perm = (sidx.reshape(hp // bh, bh, wp // bw, bw)
+                    .transpose(0, 2, 1, 3).reshape(-1))
+            rays_o = rays_o[jnp.asarray(perm)]
+            rays_d = rays_d[jnp.asarray(perm)]
+            n_rays = rays_o.shape[0]
+
     batch = {
         "ray_o": rays_o, "ray_d": rays_d,
         "depth_range": jnp.asarray(depth_range),

@@ -364,3 +364,49 @@ def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,
     order = np.concatenate([np.asarray(vs) for vs, _ in spec.groups])
     inv = np.argsort(order)
     return out[jnp.asarray(inv)]
+
+
+def plan_render_specs(target_cams, src_cams, depth_range, rgb_hw, feat_hw,
+                      block=(8, 8), render_stride=1,
+                      feat_ps=(4, 6, 8, 12, 16), rgb_ps=(8, 12, 16, 24, 32),
+                      max_slots=None):
+    """Convenience planner: (spec_feat, spec_rgb) for whole-frame rendering,
+    or None when no patch size satisfies the coverage bound (caller falls back
+    to the per-tap gather).
+
+    Picks the smallest admissible patch size per table — selection FLOPs scale
+    with K*(p+1)^2*C and small p minimizes that product once coverage holds.
+    """
+    def pick(hw_sample, ps):
+        best = None
+        best_cost = None
+        for p in ps:
+            try:
+                groups, _ = plan_block_groups(
+                    target_cams, src_cams, depth_range, hw_sample, p,
+                    block=block, render_stride=render_stride,
+                )
+            except ValueError:
+                continue
+            worst = max(9 + 3 * (k - 1) for _, k in groups)
+            if max_slots is not None and worst > max_slots:
+                continue
+            # selection FLOPs scale with sum_views K_slots * (p+1)^2
+            cost = sum(len(v) * (9 + 3 * (k - 1)) * (p + 1) ** 2
+                       for v, k in groups)
+            if best_cost is None or cost < best_cost:
+                best_cost = cost
+                best = make_block_spec(
+                    groups, p, hw_sample,
+                    (int(target_cams.reshape(-1, 34)[0][0]),
+                     int(target_cams.reshape(-1, 34)[0][1])), block=block)
+        return best
+
+    target_cams = np.asarray(target_cams, np.float64)
+    spec_f = pick(feat_hw, feat_ps)
+    if spec_f is None:
+        return None
+    spec_r = pick(rgb_hw, rgb_ps)
+    if spec_r is None:
+        return None
+    return spec_f, spec_r

@@ -48,12 +48,15 @@ def render_rays_blocked(
         "ray_o": ray_o.reshape(nb, block_size, 3),
         "ray_d": ray_d.reshape(nb, block_size, 3),
     }
-    # corner-pack the gather tables ONCE, outside the block loop
+    # pack the gather tables ONCE, outside the block loop
     hybrid = cfg.use_clean_color or cfg.use_clean_density
+    use_bspg = (cfg.bspg_specs is not None and featmaps_clean is None
+                and not hybrid)
     packed = make_packed_tables(
         src_rgbs, featmaps, featmaps_clean, cfg.compute_dtype,
         unify_feat=wants_unified_tables(cfg, featmaps, featmaps_clean),
         fuse_rgb=cfg.fuse_rgb_rows and featmaps_clean is None and not hybrid,
+        bspg_specs=cfg.bspg_specs if use_bspg else None,
     )
 
     def render_block(b):
@@ -119,7 +122,36 @@ def render_single_image(
 
     Returns the reference's output contract: rgb painted white where the
     validity mask is empty (render_image.py:113).
+
+    With cfg.bspg_specs set, rays are reordered into bh x bw pixel blocks
+    (block segment-patch gather needs block-major rays); outputs are restored
+    to raster order before the image reshape. Padding rays replicate the
+    border pixel via clamped indices.
     """
+    import numpy as np
+
+    inv_idx = None
+    hs0 = len(range(0, h, render_stride))
+    ws0 = len(range(0, w, render_stride))
+    if cfg.bspg_specs is not None:
+        bh, bw = cfg.bspg_specs[0].block
+        hp = -(-hs0 // bh) * bh
+        wp = -(-ws0 // bw) * bw
+        yy, xx = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
+        src_idx = (np.minimum(yy, hs0 - 1) * ws0
+                   + np.minimum(xx, ws0 - 1))  # padded raster -> orig ray
+        perm = (src_idx.reshape(hp // bh, bh, wp // bw, bw)
+                .transpose(0, 2, 1, 3).reshape(-1))
+        yr, xr = np.meshgrid(np.arange(hs0), np.arange(ws0), indexing="ij")
+        inv_idx = jnp.asarray(
+            ((yr // bh) * (wp // bw) + xr // bw) * (bh * bw)
+            + (yr % bh) * bw + xr % bw
+        ).reshape(-1)
+        perm = jnp.asarray(perm)
+        ray_batch = dict(ray_batch)
+        ray_batch["ray_o"] = jnp.asarray(ray_batch["ray_o"])[perm]
+        ray_batch["ray_d"] = jnp.asarray(ray_batch["ray_d"])[perm]
+
     n = ray_batch["ray_o"].shape[0]
     seg = max(chunk_size, (max_rays_per_call // chunk_size) * chunk_size)
     if n > seg:
@@ -150,12 +182,13 @@ def render_single_image(
             params, model, ray_batch, featmaps, cfg, src_rgbs, src_cameras,
             chunk_size, key, featmaps_clean, ray_sharding,
         )
-    hs = len(range(0, h, render_stride))
-    ws = len(range(0, w, render_stride))
+    hs, ws = hs0, ws0
 
     def to_image(x):
         if x is None:
             return None
+        if inv_idx is not None:
+            x = x[inv_idx]  # block-major -> raster
         return x.reshape((hs, ws) + x.shape[1:])
 
     ret = {}

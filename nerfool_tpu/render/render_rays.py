@@ -63,6 +63,16 @@ class RenderConfig:
     # numerics (see tests/test_grid_sample.py superrow tests). Disabled
     # automatically for hybrid clean-feature rendering.
     fuse_rgb_rows: bool = True
+    # block segment-patch gather (ops/bspg.py) for whole-frame rendering:
+    # rays arrive block-major (render_image reorders), patch rows are gathered
+    # per (8x8 block, view) and samples reconstructed by one-hot MXU matmuls —
+    # replaces per-tap gathering AND the fine-pass tap-reuse permutes.
+    # (spec_feat, spec_rgb) are static BSPGSpec pairs from the host planner;
+    # None keeps the per-tap path.
+    bspg_specs: Optional[tuple] = None
+    # route BSPG sample selection through the Pallas kernel (VMEM one-hots);
+    # off -> XLA einsum selection (small batches / CPU tests)
+    bspg_pallas: bool = True
 
 
 def make_shade_fn(model, cfg: RenderConfig) -> Callable:
@@ -126,7 +136,7 @@ def wants_unified_tables(cfg: RenderConfig, featmaps, featmaps_clean=None):
 
 def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None,
                        compute_dtype="float32", unify_feat=False,
-                       fuse_rgb=False):
+                       fuse_rgb=False, bspg_specs=None):
     """Corner-pack the gather tables once (outside any chunk loop).
 
     Returns {'rgb', 'feat': (coarse, fine), 'shapes', optionally 'feat_clean'};
@@ -151,6 +161,27 @@ def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None,
 
     dt = jnp.dtype(compute_dtype)
     cast = (lambda x: jnp.asarray(x).astype(dt)) if dt != jnp.float32 else jnp.asarray
+    if bspg_specs is not None:
+        from nerfool_tpu.ops.bspg import pack_patch_table
+
+        spec_f, spec_r = bspg_specs
+        if featmaps[0] is featmaps[1]:
+            t = pack_patch_table(cast(featmaps[0]), spec_f.p)
+            feat_tables = (t, t)
+        else:
+            feat_tables = tuple(
+                pack_patch_table(cast(f), spec_f.p) for f in featmaps
+            )
+        return {
+            "bspg": {
+                "feat": feat_tables,
+                "rgb": pack_patch_table(cast(src_rgbs), spec_r.p),
+            },
+            "shapes": {
+                "rgb": src_rgbs.shape,
+                "feat": tuple(f.shape for f in featmaps),
+            },
+        }
     packed = {
         "rgb": None if fuse_rgb else pack_corner_table(cast(src_rgbs)),
         "shapes": {
@@ -251,7 +282,9 @@ def _shade_raw(params, model, cfg, rgb_feat, ray_diff, mask, pts, ray_d, level):
     net_key = "net_coarse" if (level == "coarse" or cfg.single_net) else "net_fine"
     raw = shade(params[net_key], model[net_key], rgb_feat, ray_diff, mask,
                 pts.astype(dt), ray_d.astype(dt))
-    return raw.astype(jnp.float32)
+    # promote back: f32 for bf16/f32 compute, but keep f64 pipelines (x64
+    # parity tests) lossless end to end
+    return raw.astype(jnp.result_type(jnp.float32, rgb_feat.dtype))
 
 
 def _finalize_level(cfg: RenderConfig, raw, z_vals, pixel_mask, noise_key):
@@ -311,6 +344,13 @@ def render_rays(
             src_rgbs, featmaps, featmaps_clean, cfg.compute_dtype,
             unify_feat=wants_unified_tables(cfg, featmaps, featmaps_clean),
             fuse_rgb=cfg.fuse_rgb_rows and featmaps_clean is None and not hybrid,
+            bspg_specs=cfg.bspg_specs if not hybrid
+            and featmaps_clean is None else None,
+        )
+    if packed.get("bspg") is not None:  # block segment-patch gather
+        return _render_rays_bspg(
+            params, model, ray_batch, cfg, src_rgbs, src_cameras, keys, packed,
+            pts, z_vals,
         )
     if "feat_slices" in packed:  # unified tables -> fine-pass tap reuse
         return _render_rays_reuse(
@@ -432,4 +472,105 @@ def _render_rays_reuse(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
                        ray_d, "fine")
     pmask_f = jnp.sum(m_f[..., 0], axis=0) > 1
     ret["outputs_fine"] = _finalize_level(cfg, raw_f, z_all, pmask_f, keys[3])
+    return ret
+
+
+def _render_rays_bspg(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
+                      src_cameras, keys, packed, pts, z_vals):
+    """Coarse+fine rendering through the block segment-patch gather.
+
+    Rays must arrive BLOCK-MAJOR (render_image reorders raster rays into
+    bh x bw pixel blocks). Per chunk: one slot walk + one patch-row gather per
+    (block, view) serves BOTH passes (fine z-values stay inside [near, far],
+    which the block tube covers by construction) — there is no per-tap gather,
+    no fine-pass re-gather and no sample-order permute left.
+    """
+    from nerfool_tpu.ops.bspg import (
+        build_block_slots,
+        gather_block_patches,
+        select_block_samples,
+    )
+    from nerfool_tpu.ops.spg import project_endpoints
+    from nerfool_tpu.render.projection import (
+        compute_angle_planes,
+        inbound_mask_planes,
+        project_points_planes,
+    )
+
+    spec_f, spec_r = cfg.bspg_specs
+    bh, bw = spec_f.block
+    npb = bh * bw
+    r = pts.shape[0]
+    assert r % npb == 0, f"BSPG needs block-major rays: {r} % {npb}"
+    b = r // npb
+    v = src_cameras.shape[0]
+    cam = ray_batch["camera"].reshape(-1)[:34]
+    src_cameras = jax.lax.stop_gradient(src_cameras)
+    h = src_cameras[0, 0]
+    w = src_cameras[0, 1]
+    dt = jnp.dtype(cfg.compute_dtype)
+
+    ray_o, ray_d = ray_batch["ray_o"], ray_batch["ray_d"]
+    near = ray_batch["depth_range"].reshape(-1)[0]
+    far = ray_batch["depth_range"].reshape(-1)[1]
+    ro_b = ray_o.reshape(b, npb, 3)
+    rd_b = ray_d.reshape(b, npb, 3)
+    cidx = jnp.asarray([0, bw - 1, (bh - 1) * bw, npb - 1])
+    pa_w = (ro_b[:, cidx] + rd_b[:, cidx] * near).reshape(-1, 3)
+    pb_w = (ro_b[:, cidx] + rd_b[:, cidx] * far).reshape(-1, 3)
+    pa, pb = project_endpoints(pa_w, pb_w, src_cameras)
+    pa = pa.reshape(v, b, 4, 3)
+    pb = pb.reshape(v, b, 4, 3)
+
+    slots_f = build_block_slots(pa, pb, spec_f)
+    slots_r = build_block_slots(pa, pb, spec_r)
+    tabs = packed["bspg"]
+    g_rgb = gather_block_patches(tabs["rgb"], slots_r, spec_r)
+    c_feat = packed["shapes"]["feat"][0][-1]
+
+    def sample_level(pts_l, li):
+        s = pts_l.shape[1]
+        flat = pts_l.reshape(-1, 3)
+        px, py, front = project_points_planes(flat, src_cameras)
+        gx = 2.0 * px / (w - 1.0) - 1.0
+        gy = 2.0 * py / (h - 1.0) - 1.0
+        gxb = gx.reshape(v, b, npb, s)
+        gyb = gy.reshape(v, b, npb, s)
+        g_f = gather_block_patches(tabs["feat"][li], slots_f, spec_f)
+        feat = select_block_samples(
+            g_f, slots_f, gxb, gyb, spec_f, c_feat, use_pallas=cfg.bspg_pallas
+        ).reshape(v, r, s, c_feat)
+        rgb = select_block_samples(
+            g_rgb, slots_r, gxb, gyb, spec_r, 3, use_pallas=cfg.bspg_pallas
+        ).reshape(v, r, s, 3)
+        dxp, dyp, dzp, dot = compute_angle_planes(flat, cam, src_cameras)
+        ray_diff = jnp.stack([dxp, dyp, dzp, dot], axis=-1).reshape(v, r, s, 4)
+        mask = (inbound_mask_planes(px, py, h, w) & front).astype(
+            rgb.dtype
+        ).reshape(v, r, s, 1)
+        rgb_feat = jnp.concatenate([rgb, feat], axis=-1)
+        return rgb_feat, ray_diff, mask
+
+    ray_d_full = ray_batch["ray_d"]
+    rgb_feat_c, rd_c, m_c = sample_level(pts, 0)
+    raw_c = _shade_raw(params, model, cfg, rgb_feat_c, rd_c, m_c, pts,
+                       ray_d_full, "coarse")
+    pmask_c = jnp.sum(m_c[..., 0], axis=0) > 1
+    outputs_coarse = _finalize_level(cfg, raw_c, z_vals, pmask_c, keys[1])
+    ret = {"outputs_coarse": outputs_coarse, "outputs_fine": None}
+
+    if cfg.n_importance > 0:
+        weights = jax.lax.stop_gradient(outputs_coarse["weights"])
+        z_all = sample_fine_zvals(
+            z_vals, weights, cfg.n_importance, inv_uniform=cfg.inv_uniform,
+            det=cfg.det, key=keys[2],
+        )
+        pts_fine = (z_all[..., None] * ray_d_full[:, None, :]
+                    + ray_batch["ray_o"][:, None, :])
+        rgb_feat_f, rd_f, m_f = sample_level(pts_fine, 1)
+        raw_f = _shade_raw(params, model, cfg, rgb_feat_f, rd_f, m_f, pts_fine,
+                           ray_d_full, "fine")
+        pmask_f = jnp.sum(m_f[..., 0], axis=0) > 1
+        ret["outputs_fine"] = _finalize_level(cfg, raw_f, z_all, pmask_f,
+                                              keys[3])
     return ret

@@ -158,3 +158,51 @@ def test_bspg_pallas_select_matches_xla(rng):
                                     use_pallas=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bspg_whole_image_render_matches(rng):
+    """render_single_image with BSPG == per-tap path (IBRNet, coarse+fine)."""
+    import dataclasses
+
+    from nerfool_tpu.models.bundle import create_model
+    from nerfool_tpu.ops.bspg import plan_render_specs
+    from nerfool_tpu.render.render_image import render_single_image
+    from nerfool_tpu.render.render_rays import RenderConfig
+
+    target_cam, src_rgbs, src_cams, _, depth_range = llff_rig_scene(
+        rng, n_src=3, h=H, w=W
+    )
+    bundle = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(3))
+    feats = bundle.extract_features(jnp.asarray(src_rgbs))
+    cfg = RenderConfig(n_samples=12, n_importance=8, det=True,
+                       backbone="ibrnet")
+    intr = target_cam[2:18].reshape(4, 4)
+    c2w = target_cam[18:34].reshape(4, 4)
+    rays_o, rays_d = get_rays(H, W, jnp.asarray(intr), jnp.asarray(c2w))
+    batch = {
+        "ray_o": rays_o, "ray_d": rays_d,
+        "depth_range": jnp.asarray(depth_range),
+        "camera": jnp.asarray(target_cam[None]),
+    }
+    params = bundle.render_params
+    args = (params, bundle.modules, batch, feats)
+    kw = dict(h=H, w=W, src_rgbs=jnp.asarray(src_rgbs),
+              src_cameras=jnp.asarray(src_cams), chunk_size=256)
+    ref = render_single_image(*args, cfg, **kw)
+
+    specs = plan_render_specs(
+        target_cam[None], src_cams, np.asarray(depth_range).reshape(-1),
+        (H, W), feats[0].shape[1:3], block=BLOCK,
+    )
+    assert specs is not None
+    cfg_b = dataclasses.replace(cfg, bspg_specs=specs, bspg_pallas=False)
+    out = render_single_image(*args, cfg_b, **kw)
+    for lvl in ("outputs_coarse", "outputs_fine"):
+        np.testing.assert_allclose(
+            np.asarray(out[lvl]["rgb"]), np.asarray(ref[lvl]["rgb"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[lvl]["depth"]), np.asarray(ref[lvl]["depth"]),
+            rtol=1e-4, atol=1e-4,
+        )
