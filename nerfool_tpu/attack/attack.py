@@ -310,8 +310,11 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
                      tar_cam[18:34]]
                 )
                 k_sel2 = jax.random.fold_in(key, 19)
-                scores = jax.random.uniform(k_sel2, (hh * ww,))
-                _, sel_c = jax.lax.top_k(scores, cfg.n_rand)
+                # half-res ray selection mirrors the main batch's mode
+                # (random_sample OR random_patch_sample at the cons
+                # resolution, eval_adv.py:356-360)
+                half_cfg = dataclasses.replace(cfg, h=hh, w=ww)
+                sel_c = select_ray_indices(k_sel2, half_cfg)
                 t2 = dict(target, camera=tar_hw)
                 # half-res render with the same perturbed features
                 intr_full = tar_hw[2:18].reshape(4, 4)
@@ -329,9 +332,17 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
             else:
                 ret_cons, sel_used, tar_cam_used = ret, sel, tar_cam
 
+            if cfg.ds_rgb:
+                # nearest-downsample to depth resolution, exactly the
+                # reference's F.interpolate(scale_factor=0.5) default-nearest
+                # (eval_adv.py:397-399): src pixel = floor(i / 0.5) = 2i
+                rgb_ref = src_rgbs[src_id][::2, ::2]
+            else:
+                rgb_ref = src_rgbs[src_id]
+            rgb_ref = rgb_ref[: src["depths"].shape[1], : src["depths"].shape[2]]
             _, _, rgb_proj, depth_proj = forward_warp(
                 sel_used,
-                src_rgbs[src_id][: src["depths"].shape[1], : src["depths"].shape[2]],
+                rgb_ref,
                 src["depths"][src_id],
                 src_cam[2:18].reshape(4, 4)[:3, :3] * (0.5 if cfg.ds_rgb else 1.0)
                 + (jnp.diag(jnp.array([0.0, 0.0, 0.5])) if cfg.ds_rgb else 0.0),
@@ -348,13 +359,24 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
             terms["depth_cons"] = cfg.depth_consistency_loss * dc
 
         if cfg.depth_smooth_loss > 0:
-            assert cfg.use_patch_sampling, (
-                "depth_smooth here rides the patch-sampled rays; enable "
-                "use_patch_sampling (the reference otherwise re-renders a patch batch)"
-            )
-            s = L.depth_smooth_loss(ret["outputs_coarse"]["depth"], cfg.patch_size)
-            if ret["outputs_fine"] is not None:
-                s = s + L.depth_smooth_loss(ret["outputs_fine"]["depth"], cfg.patch_size)
+            if cfg.use_patch_sampling:
+                ret_smooth = ret  # rides the main patch-sampled rays
+            else:
+                # the reference renders a DEDICATED patch batch with the same
+                # perturbed features when the main batch isn't patch-sampled
+                # (eval_adv.py:441-459)
+                k_patch = jax.random.fold_in(key, 23)
+                patch_cfg = dataclasses.replace(cfg, use_patch_sampling=True)
+                sel_p = select_ray_indices(k_patch, patch_cfg)
+                ret_smooth = render_subset(
+                    params, feats, target, src_cams, src_rgbs, sel_p,
+                    render_cfg, key,
+                )
+            s = L.depth_smooth_loss(ret_smooth["outputs_coarse"]["depth"],
+                                    cfg.patch_size)
+            if ret_smooth["outputs_fine"] is not None:
+                s = s + L.depth_smooth_loss(ret_smooth["outputs_fine"]["depth"],
+                                            cfg.patch_size)
             terms["depth_smooth"] = cfg.depth_smooth_loss * s
 
         if cfg.camera_consistency_loss > 0:

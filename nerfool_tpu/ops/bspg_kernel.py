@@ -62,10 +62,15 @@ def select_block_pallas_ingredients(g, slots, pid, ly, fy, vy0, vy1,
     dx_lane = jnp.asarray(j % p1, jnp.int32)[None]
     slots_rep = jnp.repeat(slots, p1 * p1, axis=-1).reshape(n_rv, width)
 
-    wy0 = ((1.0 - fy) * vy0).reshape(n_rv, ns)
-    wy1 = (fy * vy1).reshape(n_rv, ns)
-    wx0 = ((1.0 - fx) * vx0).reshape(n_rv, ns)
-    wx1 = (fx * vx1).reshape(n_rv, ns)
+    # weight ingredients ride in f32: Mosaic cannot insert minor dims on
+    # sub-32-bit vectors ("Insertion of minor dim ... only supported for
+    # 32-bit types"), so the in-kernel broadcasts build W in f32 and cast to
+    # the table dtype only at the dot
+    f32 = jnp.float32
+    wy0 = ((1.0 - fy) * vy0).reshape(n_rv, ns).astype(f32)
+    wy1 = (fy * vy1).reshape(n_rv, ns).astype(f32)
+    wx0 = ((1.0 - fx) * vx0).reshape(n_rv, ns).astype(f32)
+    wx1 = (fx * vx1).reshape(n_rv, ns).astype(f32)
     pid2 = pid.reshape(n_rv, ns)
     ly2 = ly.reshape(n_rv, ns)
     lx2 = lx.reshape(n_rv, ns)
