@@ -110,6 +110,23 @@ class AdvEvaluator:
         self.key = jax.random.PRNGKey(1234)
         self._step_cache = {}
 
+    def retarget(self, args):
+        """Point the evaluator at another scene/dataset while keeping the
+        model bundle and every compiled step function.
+
+        Attack/render step shapes depend on (n_rand, H, W, V), not on the
+        scene, so an 8-scene sweep over one dataset pays compilation ONCE —
+        the reference re-creates its whole session per scene and a fresh
+        evaluator per scene was measured to cost up to ~an hour of pure
+        recompilation on relay-backed TPUs (80-480s per graph)."""
+        args.det = True
+        self.args = args
+        self.test_dataset = dataset_dict[args.eval_dataset](
+            args, "test", scenes=args.eval_scenes, **self.dataset_kwargs
+        )
+        self.load_gt_depth = bool(args.gt_depth_path)
+        return self
+
     # ---------- helpers ----------
 
     def _split(self):

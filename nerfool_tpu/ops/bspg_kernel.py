@@ -1,18 +1,19 @@
 """Pallas selection kernel for block segment-patch gather.
 
 Reconstructs every sample's exact bilinear tap from a block's gathered patch
-rows with ONE one-hot matmul per (block, view): W [nS, Ks*(p+1)^2] has <= 4
+rows with one one-hot matmul per (block, view): W [nS, Ks*(p+1)^2] has <= 4
 nonzeros per row (slot-equality x bilinear y x bilinear x, with per-corner
 zero-padding validity folded in) and rides the MXU against the patch block
 G [Ks*(p+1)^2, C]. The one-hot lives only in VMEM — the XLA fallback in
 ops/bspg.py materializes the same operand in HBM, which costs more than the
-gather it supports (measured: ~54ms per 4096-ray chunk at flagship scale,
-issue-rate-free but bandwidth-bound). Forward-only: whole-frame rendering does
-not differentiate; the attack path keeps XLA autodiff.
+gather it supports. Forward-only: whole-frame rendering does not
+differentiate; the attack path keeps XLA autodiff.
 
 Mosaic blocking: (view-group, block) pairs are flattened and processed GB=8
-per grid step (second-to-last block dims must be 8-divisible), with a batched
-dot_general over the 8 rows.
+rows per grid step (second-to-last block dims must be 8-divisible). The
+one-hot width axis is chunked with grid accumulation (wide-K views would
+otherwise blow the 16MB VMEM scoped limit), and weight ingredients ride in
+f32 (Mosaic cannot insert minor dims on sub-32-bit vectors).
 """
 from __future__ import annotations
 
@@ -24,7 +25,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 
-GB = 8  # (view, block) rows per grid step
+GB = 8       # (view, block) rows per grid step
+WBLK = 1024  # one-hot width chunk (lanes)
 
 
 def select_block_pallas_ingredients(g, slots, pid, ly, fy, vy0, vy1,
@@ -37,35 +39,38 @@ def select_block_pallas_ingredients(g, slots, pid, ly, fy, vy0, vy1,
     :param pid, ly, lx: [Vg, B, nS] int32
     :param fy, fx: [Vg, B, nS] fractional parts (compute dtype)
     :param vy0, vy1, vx0, vx1: [Vg, B, nS] corner-validity (0/1, compute dtype)
-    :return: [Vg, B, nS, c]
+    :return: [Vg, B, nS, c] float32
     """
     vg, b, ks, row = g.shape
     p1 = spec.p + 1
     ns = pid.shape[-1]
     width = ks * p1 * p1
     dt = g.dtype
-    out_dtype = out_dtype or dt
     n_rv = vg * b
     assert n_rv % GB == 0, (vg, b)
+
+    wblk = min(WBLK, -(-width // 128) * 128)
+    wpad = -(-width // wblk) * wblk
+    nwb = wpad // wblk
     if sblk is None:
-        # bound the in-kernel one-hot tile (GB x sblk x width bf16) to ~4MB
-        cap = max(128, int(4e6 // max(GB * width * 2, 1)))
-        sblk = min(2048, ns, cap)
-        sblk = max(128, (sblk // 128) * 128)
-    while ns % sblk:
+        # W tile = GB x sblk x wblk bf16; keep it ~4MB. Power of two so it
+        # divides the (power-of-two-per-block) sample count and stays a
+        # multiple of 8 sublanes.
+        cap = max(8, min(1024, ns, int(4e6 // (GB * wblk * 2))))
+        sblk = 1 << (cap.bit_length() - 1)
+    while ns % sblk and sblk > 1:
         sblk //= 2
     nsb = ns // sblk
 
-    # per-lane constants of the combined (slot, dy, dx) one-hot axis
-    j = np.arange(width)
-    dy_lane = jnp.asarray((j // p1) % p1, jnp.int32)[None]
-    dx_lane = jnp.asarray(j % p1, jnp.int32)[None]
+    # per-lane constants of the combined (slot, dy, dx) one-hot axis, padded
+    # with sentinels that never match (slot -1, dy/dx = p+2)
+    j = np.arange(wpad)
+    dy_lane = np.where(j < width, (j // p1) % p1, p1 + 2).astype(np.int32)
+    dx_lane = np.where(j < width, j % p1, p1 + 2).astype(np.int32)
     slots_rep = jnp.repeat(slots, p1 * p1, axis=-1).reshape(n_rv, width)
+    slots_rep = jnp.pad(slots_rep, ((0, 0), (0, wpad - width)),
+                        constant_values=-1)
 
-    # weight ingredients ride in f32: Mosaic cannot insert minor dims on
-    # sub-32-bit vectors ("Insertion of minor dim ... only supported for
-    # 32-bit types"), so the in-kernel broadcasts build W in f32 and cast to
-    # the table dtype only at the dot
     f32 = jnp.float32
     wy0 = ((1.0 - fy) * vy0).reshape(n_rv, ns).astype(f32)
     wy1 = (fy * vy1).reshape(n_rv, ns).astype(f32)
@@ -75,25 +80,30 @@ def select_block_pallas_ingredients(g, slots, pid, ly, fy, vy0, vy1,
     ly2 = ly.reshape(n_rv, ns)
     lx2 = lx.reshape(n_rv, ns)
     g3 = g.reshape(n_rv, width, c)
+    if wpad != width:
+        g3 = jnp.pad(g3, ((0, 0), (0, wpad - width), (0, 0)))
 
-    grid = (n_rv // GB, nsb)
-    const = pl.BlockSpec((1, width), lambda i, s: (0, 0))
-    persamp = pl.BlockSpec((GB, sblk), lambda i, s: (i, s))
+    grid = (n_rv // GB, nsb, nwb)  # width chunk iterates fastest: accumulate
+    const = pl.BlockSpec((1, wblk), lambda i, s, w: (0, w))
+    persamp = pl.BlockSpec((GB, sblk), lambda i, s, w: (i, s))
 
     out = pl.pallas_call(
         functools.partial(_select_kernel, dt=dt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((GB, width), lambda i, s: (i, 0)),     # slots_rep
-            const, const,                                        # dy/dx lanes
-            persamp, persamp, persamp, persamp,                  # pid, ly, wy0, wy1
-            persamp, persamp, persamp,                           # lx, wx0, wx1
-            pl.BlockSpec((GB, width, c), lambda i, s: (i, 0, 0)),  # g3
+            pl.BlockSpec((GB, wblk), lambda i, s, w: (i, w)),     # slots_rep
+            const, const,                                          # dy/dx lanes
+            persamp, persamp, persamp, persamp,                    # pid, ly, wy0, wy1
+            persamp, persamp, persamp,                             # lx, wx0, wx1
+            pl.BlockSpec((GB, wblk, c), lambda i, s, w: (i, w, 0)),  # g3
         ],
-        out_specs=pl.BlockSpec((GB, sblk, c), lambda i, s: (i, s, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_rv, ns, c), out_dtype),
+        out_specs=pl.BlockSpec((GB, sblk, c), lambda i, s, w: (i, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_rv, ns, c), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(slots_rep, dy_lane, dx_lane, pid2, ly2, wy0, wy1, lx2, wx0, wx1, g3)
+    )(slots_rep, jnp.asarray(dy_lane)[None], jnp.asarray(dx_lane)[None],
+      pid2, ly2, wy0, wy1, lx2, wx0, wx1, g3)
+    if out_dtype is not None and out_dtype != jnp.float32:
+        out = out.astype(out_dtype)
     return out.reshape(vg, b, ns, c)
 
 
@@ -107,11 +117,11 @@ def _select_kernel(slots_rep_ref, dy_lane_ref, dx_lane_ref,
     wy1 = wy1_ref[...]
     wx0 = wx0_ref[...]
     wx1 = wx1_ref[...]
-    srep = slots_rep_ref[...]   # [GB, W]
-    dyl = dy_lane_ref[0]        # [W]
+    srep = slots_rep_ref[...]   # [GB, Wb]
+    dyl = dy_lane_ref[0]        # [Wb]
     dxl = dx_lane_ref[0]
 
-    eq = pid[:, :, None] == srep[:, None, :]                      # [GB, S, W]
+    eq = pid[:, :, None] == srep[:, None, :]                      # [GB, S, Wb]
     wy = jnp.where(dyl[None, None, :] == ly[:, :, None], wy0[:, :, None],
                    jnp.where(dyl[None, None, :] == ly[:, :, None] + 1,
                              wy1[:, :, None], 0.0))
@@ -119,8 +129,13 @@ def _select_kernel(slots_rep_ref, dy_lane_ref, dx_lane_ref,
                    jnp.where(dxl[None, None, :] == lx[:, :, None] + 1,
                              wx1[:, :, None], 0.0))
     w = jnp.where(eq, wy * wx, 0.0).astype(dt)
-    out = jax.lax.dot_general(
+    part = jax.lax.dot_general(
         w, g_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    out_ref[...] = out.astype(out_ref.dtype)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part

@@ -33,6 +33,7 @@ def main():
 
     datasets = args.eval_dataset.split("+")
     report = {}
+    ev = None
     for ds in datasets:
         for scene in SCENES.get(ds, [""]):
             a = config_parser().parse_args(sys.argv[1:])  # fresh per scene
@@ -40,7 +41,9 @@ def main():
             a.eval_scenes = [scene] if scene else []
             out_dir = os.path.join(ds, args.expname, scene or ds)
             print(f"=== {ds}/{scene} ===", flush=True)
-            ev = AdvEvaluator(a)
+            # ONE evaluator for the whole sweep: step shapes don't depend on
+            # the scene, so compiled attack/render programs are reused
+            ev = AdvEvaluator(a) if ev is None else ev.retarget(a)
             res = ev.evaluate(out_dir=out_dir, verbose=True)
             report[f"{ds}/{scene}"] = res[scene or ds]
     out = os.path.join(args.eval_dataset.replace("+", "_"),

@@ -223,3 +223,25 @@ def test_clean_eval_beats_attacked(tmp_path, small_kwargs):
     ds = args.eval_dataset
     assert clean[ds]["coarse_mean_psnr"] > attacked[ds]["coarse_mean_psnr"], (
         clean[ds]["coarse_mean_psnr"], attacked[ds]["coarse_mean_psnr"])
+
+
+def test_sweep_retarget_reuses_compiled_steps(tmp_path, small_kwargs):
+    """retarget() must not grow the compiled-step cache for identical shapes:
+    an 8-scene sweep pays jit compilation once (relay compiles are 80-480s)."""
+    from nerfool_tpu.attack.engine import AdvEvaluator
+
+    args = _engine_args(tmp_path, view_specific=True, use_adam=True,
+                        adam_lr="1e-2", adv_iters=2)
+    ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+    ev.evaluate(out_dir=None, verbose=False, max_views=1, save_images=False)
+    n_compiled = len(ev._step_cache)
+    assert n_compiled >= 1
+
+    args2 = _engine_args(tmp_path, view_specific=True, use_adam=True,
+                         adam_lr="1e-2", adv_iters=2)
+    ev2 = ev.retarget(args2)
+    assert ev2 is ev
+    ev.evaluate(out_dir=None, verbose=False, max_views=1, save_images=False)
+    assert len(ev._step_cache) == n_compiled, (
+        "retarget recompiled attack steps for identical shapes"
+    )
