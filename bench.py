@@ -216,7 +216,7 @@ def main():
     # f32 is the parity default; the pallas kernel is forward-only (no VJP) so
     # the attack's differentiated render always uses the XLA implementation
     attack_render_cfg = dataclasses.replace(cfg, compute_dtype=ATTACK_DTYPE,
-                                            use_pallas=False)
+                                            use_pallas=False, bspg_specs=None)
     acfg = AttackConfig(h=H, w=W, n_rand=N_RAND, use_adam=True, adam_lr=1e-3,
                         epsilon=8.0)
     target = {

@@ -344,11 +344,23 @@ def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,
             )
 
             ing = _sample_ingredients(ixg, iyg, spec.as_spg(), dt)
-            out = select_block_pallas_ingredients(
-                g, slots, ing["pid"], ing["ly"], ing["fy"], ing["vy0"],
-                ing["vy1"], ing["lx"], ing["fx"], ing["vx0"], ing["vx1"],
-                spec, c,
-            )
+            if c <= 8:
+                from nerfool_tpu.ops.bspg_kernel import (
+                    select_block_pallas_smallc,
+                )
+
+                out = select_block_pallas_smallc(
+                    g, slots, ing["pid"], ing["ly"], ing["fy"], ing["vy0"],
+                    ing["vy1"], ing["lx"], ing["fx"], ing["vx0"],
+                    ing["vx1"], spec, c,
+                )
+            else:
+                out = select_block_pallas_ingredients(
+                    g, slots, ing["pid"], ing["ly"], ing["fy"], ing["vy0"],
+                    ing["vy1"], ing["lx"], ing["fx"], ing["vx0"],
+                    ing["vx1"], spec, c,
+                )
+            out = out.astype(dt)
         else:
             pid, wy, wx = _sample_weights(ixg, iyg, spec.as_spg(), dt)
             eq = (pid[..., None] == slots[:, :, None, :]).astype(dt)

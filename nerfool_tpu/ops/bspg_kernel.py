@@ -53,10 +53,10 @@ def select_block_pallas_ingredients(g, slots, pid, ly, fy, vy0, vy1,
     wpad = -(-width // wblk) * wblk
     nwb = wpad // wblk
     if sblk is None:
-        # W tile = GB x sblk x wblk bf16; keep it ~4MB. Power of two so it
-        # divides the (power-of-two-per-block) sample count and stays a
-        # multiple of 8 sublanes.
-        cap = max(8, min(1024, ns, int(4e6 // (GB * wblk * 2))))
+        # the kernel's f32 temporaries are [GB, sblk, wblk] x ~3; keep them
+        # ~8MB total. Power of two so sblk divides the per-block sample count
+        # and stays a multiple of 8 sublanes.
+        cap = max(128, min(1024, ns, int(12e6 // (GB * wblk * 4 * 3))))
         sblk = 1 << (cap.bit_length() - 1)
     while ns % sblk and sblk > 1:
         sblk //= 2
@@ -139,3 +139,109 @@ def _select_kernel(slots_rep_ref, dy_lane_ref, dx_lane_ref,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     out_ref[...] += part
+
+
+def select_block_pallas_smallc(g, slots, pid, ly, fy, vy0, vy1,
+                               lx, fx, vx0, vx1, spec, c, sblk=None):
+    """Two-stage Pallas selection for narrow-channel tables (rgb, c<=8).
+
+    The combined (slot, dy, dx) one-hot would contract a K*(p+1)^2-wide axis
+    against an N=c matmul whose 3 output lanes pad to 128 on the MXU (~2%
+    utilization — measured to dominate whole-frame rendering). Instead:
+      stage 1: slot-equality one-hot [S, Ks] @ G' [Ks, c*(p+1)^2] on the MXU
+               (full lanes; G' is channel-major so stage 2 reduces over lanes)
+      stage 2: spatial (dy, dx) bilinear weights [S, (p+1)^2] broadcast over
+               the c channel planes of z, reduced over the lane axis (VPU).
+    """
+    vg, b, ks, row = g.shape
+    p1 = spec.p + 1
+    sp = p1 * p1
+    csp = c * sp
+    ns = pid.shape[-1]
+    dt = g.dtype
+    n_rv = vg * b
+    assert n_rv % GB == 0, (vg, b)
+    if sblk is None:
+        # stage-2 holds ~5 [GB, sblk, c*sp] f32 temporaries (z, wy, wx, zw,
+        # fusion slack) in the 16M scoped-vmem stack
+        cap = max(128, min(1024, ns, int(2e6 // (GB * csp * 4))))
+        sblk = 1 << (cap.bit_length() - 1)
+    while ns % sblk and sblk > 1:
+        sblk //= 2
+    nsb = ns // sblk
+
+    # channel-major row layout: [Ks, sp, c] -> [Ks, c, sp]
+    gc = g.reshape(n_rv, ks, sp, c).transpose(0, 1, 3, 2)
+    gc = gc.reshape(n_rv, ks, csp)
+
+    # lane constants over the channel-major c*sp axis: lane j covers channel
+    # j // sp at spatial offset j % sp. Mosaic cannot lane-split (c, sp), so
+    # the spatial weights are built on the full c*sp axis (repeating per
+    # channel) and channels are collapsed by a constant [c*sp, c] indicator
+    # matmul instead of a reshape.
+    j = np.arange(csp)
+    off = j % sp
+    dy_lane = jnp.asarray(off // p1, jnp.int32)[None]
+    dx_lane = jnp.asarray(off % p1, jnp.int32)[None]
+    ch_onehot = jnp.asarray((j // sp)[:, None] == np.arange(c)[None, :],
+                            jnp.float32)
+
+    f32 = jnp.float32
+    wy0 = ((1.0 - fy) * vy0).reshape(n_rv, ns).astype(f32)
+    wy1 = (fy * vy1).reshape(n_rv, ns).astype(f32)
+    wx0 = ((1.0 - fx) * vx0).reshape(n_rv, ns).astype(f32)
+    wx1 = (fx * vx1).reshape(n_rv, ns).astype(f32)
+    pid2 = pid.reshape(n_rv, ns)
+    ly2 = ly.reshape(n_rv, ns)
+    lx2 = lx.reshape(n_rv, ns)
+    slots2 = slots.reshape(n_rv, ks)
+
+    grid = (n_rv // GB, nsb)
+    const = pl.BlockSpec((1, csp), lambda i, s: (0, 0))
+    persamp = pl.BlockSpec((GB, sblk), lambda i, s: (i, s))
+
+    out = pl.pallas_call(
+        functools.partial(_select_smallc_kernel, dt=dt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((GB, ks), lambda i, s: (i, 0)),          # slots
+            const, const,                                          # dy/dx lanes
+            pl.BlockSpec((csp, c), lambda i, s: (0, 0)),           # ch_onehot
+            persamp, persamp, persamp, persamp,                    # pid, ly, wy0, wy1
+            persamp, persamp, persamp,                             # lx, wx0, wx1
+            pl.BlockSpec((GB, ks, csp), lambda i, s: (i, 0, 0)),   # gc
+        ],
+        out_specs=pl.BlockSpec((GB, sblk, c), lambda i, s: (i, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_rv, ns, c), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(slots2, dy_lane, dx_lane, ch_onehot, pid2, ly2, wy0, wy1, lx2, wx0,
+      wx1, gc)
+    return out.reshape(vg, b, ns, c)
+
+
+def _select_smallc_kernel(slots_ref, dy_lane_ref, dx_lane_ref, ch_ref,
+                          pid_ref, ly_ref, wy0_ref, wy1_ref,
+                          lx_ref, wx0_ref, wx1_ref, g_ref, out_ref, *, dt):
+    pid = pid_ref[...]          # [GB, S]
+    srep = slots_ref[...]       # [GB, Ks]
+    eq = (pid[:, :, None] == srep[:, None, :]).astype(dt)          # [GB,S,Ks]
+    z = jax.lax.dot_general(
+        eq, g_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                              # [GB,S,c*sp]
+
+    dyl = dy_lane_ref[0]        # [c*sp]
+    dxl = dx_lane_ref[0]
+    ly = ly_ref[...]
+    lx = lx_ref[...]
+    wy = jnp.where(dyl[None, None, :] == ly[:, :, None], wy0_ref[...][:, :, None],
+                   jnp.where(dyl[None, None, :] == ly[:, :, None] + 1,
+                             wy1_ref[...][:, :, None], 0.0))       # [GB,S,c*sp]
+    wx = jnp.where(dxl[None, None, :] == lx[:, :, None], wx0_ref[...][:, :, None],
+                   jnp.where(dxl[None, None, :] == lx[:, :, None] + 1,
+                             wx1_ref[...][:, :, None], 0.0))
+    zw = z * (wy * wx)                                             # [GB,S,c*sp]
+    out_ref[...] = jax.lax.dot_general(
+        zw, ch_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                              # [GB,S,c]
