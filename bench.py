@@ -33,7 +33,6 @@ ATTACK_DTYPE = os.environ.get("BENCH_ATTACK_DTYPE", "float32")  # parity default
 FEATURE_DTYPE = os.environ.get("BENCH_FEATURE_DTYPE", "float32")  # ResUNet convs
 REMAT = os.environ.get("BENCH_REMAT", "1") == "1"  # feature-net remat in bwd
 REUSE_TAPS = os.environ.get("BENCH_REUSE_TAPS", "1") == "1"  # fine-pass tap reuse
-USE_PALLAS = os.environ.get("BENCH_USE_PALLAS", "0") == "1"  # fused aggregation kernel
 SCENE = os.environ.get("BENCH_SCENE", "llff")  # llff (nearest-view rig) | arc
 USE_BSPG = os.environ.get("BENCH_BSPG", "1") == "1"  # block segment-patch gather
 BSPG_PALLAS = os.environ.get("BENCH_BSPG_PALLAS", "1") == "1"  # Pallas selection
@@ -43,25 +42,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def build_scene():
+    """Synthetic flagship-scale camera rig: (cams [N_SRC+1, 34], depth_range).
 
-    from nerfool_tpu.attack.attack import (
-        AttackConfig, init_attack_state, make_attack_step,
-    )
-    from nerfool_tpu.models.bundle import create_model
-    from nerfool_tpu.render.render_rays import RenderConfig
-    from nerfool_tpu.utils.cameras import get_rays, make_camera_vector
+    Default geometry mirrors the reference's actual LLFF eval workload
+    (llff_test picks the 10 NEAREST views of a forward-facing rig -> small
+    baselines, llff_test.py:137-142); the round-1 45-degree arc
+    (BENCH_SCENE=arc) had several-fold longer epipolar segments than any real
+    LLFF source set and is kept for comparison only.
+    """
+    from nerfool_tpu.utils.cameras import make_camera_vector
 
-    log(f"devices: {jax.devices()}")
-    rng = np.random.RandomState(0)
-
-    # synthetic flagship-scale scene. Default geometry mirrors the reference's
-    # actual LLFF eval workload (llff_test picks the 10 NEAREST views of a
-    # forward-facing rig -> small baselines, llff_test.py:137-142); the round-1
-    # 45-degree arc (BENCH_SCENE=arc) had several-fold longer epipolar
-    # segments than any real LLFF source set and is kept for comparison only.
     if SCENE == "arc":
         cams = []
         for i in range(N_SRC + 1):
@@ -102,6 +93,23 @@ def main():
                                            c2w.astype(np.float32)))
         cams = np.stack(cams).astype(np.float32)
         depth_range = np.array([[1.08, 7.6]], dtype=np.float32)
+    return cams, depth_range
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfool_tpu.attack.attack import (
+        AttackConfig, init_attack_state, make_attack_step,
+    )
+    from nerfool_tpu.models.bundle import create_model
+    from nerfool_tpu.render.render_rays import RenderConfig
+    from nerfool_tpu.utils.cameras import get_rays
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.RandomState(0)
+    cams, depth_range = build_scene()
     target_cam, src_cams = cams[0], cams[1:]
     src_rgbs = rng.rand(N_SRC, H, W, 3).astype(np.float32)
 
@@ -115,7 +123,7 @@ def main():
         inv_uniform=BACKBONE == "ibrnet", backbone=BACKBONE,
         single_net=BACKBONE == "gnt", ret_alpha=BACKBONE == "gnt",
         stop_camera_grad=BACKBONE == "ibrnet", compute_dtype=DTYPE,
-        reuse_fine_taps=REUSE_TAPS, use_pallas=USE_PALLAS,
+        reuse_fine_taps=REUSE_TAPS,
     )
 
     src_rgbs_j = jnp.asarray(src_rgbs)
@@ -213,10 +221,11 @@ def main():
 
     # ---- attack step benchmark (f32 render config: the parity path)
     import dataclasses
-    # f32 is the parity default; the pallas kernel is forward-only (no VJP) so
-    # the attack's differentiated render always uses the XLA implementation
+    # f32 is the parity default; the BSPG selection kernel is forward-only
+    # (no VJP) and needs block-major rays, so the attack's differentiated
+    # render keeps the per-tap XLA gather path
     attack_render_cfg = dataclasses.replace(cfg, compute_dtype=ATTACK_DTYPE,
-                                            use_pallas=False, bspg_specs=None)
+                                            bspg_specs=None)
     acfg = AttackConfig(h=H, w=W, n_rand=N_RAND, use_adam=True, adam_lr=1e-3,
                         epsilon=8.0)
     target = {

@@ -47,10 +47,6 @@ class RenderConfig:
     # aggregation compute dtype: 'bfloat16' halves gather + MLP HBM traffic
     # (geometry/projection/compositing stay f32); keep f32 for parity runs
     compute_dtype: str = "float32"
-    # fused Pallas aggregation kernel (ibrnet, forward/rendering path only —
-    # the attack backward keeps the XLA implementation)
-    use_pallas: bool = False
-    pallas_ray_block: int = 16
     # fine-pass tap reuse: pack coarse+fine feature heads into ONE table
     # (gather cost on TPU is per-row) and re-gather only the n_importance NEW
     # points in the fine pass, reordering the coarse taps on-chip — ~1/3 fewer
@@ -81,39 +77,10 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
     ``model`` holds the flax Modules: {'net_coarse': Module, 'net_fine': Module|None}.
     """
     if cfg.backbone == "ibrnet":
-        if cfg.use_pallas:
-            from nerfool_tpu.ops.ibrnet_kernel import ibrnet_aggregate_pallas
-
-            def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
-                return ibrnet_aggregate_pallas(
-                    agg_params, rgb_feat, ray_diff, mask,
-                    anti_alias_pooling=agg_module.anti_alias_pooling,
-                    ray_block=min(cfg.pallas_ray_block, rgb_feat.shape[1]),
-                )
-
-            return shade
-
         def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
             return agg_module.apply({"params": agg_params}, rgb_feat, ray_diff, mask)
 
     else:
-        if cfg.use_pallas:
-            from nerfool_tpu.ops.gnt_kernel import gnt_aggregate_pallas
-
-            def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
-                blk = min(cfg.pallas_ray_block, rgb_feat.shape[1])
-                while rgb_feat.shape[1] % blk:
-                    blk -= 1
-                return gnt_aggregate_pallas(
-                    agg_params, rgb_feat, ray_diff, mask, pts, ray_d,
-                    trans_depth=agg_module.trans_depth,
-                    ret_alpha=agg_module.ret_alpha,
-                    posenc_freqs=agg_module.posenc_freqs,
-                    ray_block=blk,
-                )
-
-            return shade
-
         def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
             return agg_module.apply(
                 {"params": agg_params}, rgb_feat, ray_diff, mask, pts, ray_d

@@ -65,25 +65,11 @@ def main():
     from nerfool_tpu.models.bundle import create_model
     from nerfool_tpu.render.render_image import _render_blocked_jit
     from nerfool_tpu.render.render_rays import RenderConfig
-    from nerfool_tpu.utils.cameras import get_rays, make_camera_vector
+    from nerfool_tpu.utils.cameras import get_rays
 
     rng = np.random.RandomState(0)
     H, W, N_SRC = B.H, B.W, B.N_SRC
-    cams = []
-    for i in range(N_SRC + 1):
-        theta = 0.5 * np.pi * i / (N_SRC + 1)
-        eye = np.array([4 * np.sin(theta), 1.4, -4 * np.cos(theta)], np.float32)
-        fwd = -eye / np.linalg.norm(eye)
-        up = np.array([0.0, -1.0, 0.0])
-        right = np.cross(up, fwd); right /= np.linalg.norm(right)
-        down = np.cross(fwd, right)
-        c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, eye
-        kmat = np.eye(4, dtype=np.float32)
-        kmat[0, 0] = kmat[1, 1] = 0.8 * W
-        kmat[0, 2], kmat[1, 2] = W / 2, H / 2
-        cams.append(make_camera_vector(H, W, kmat, c2w))
-    cams = np.stack(cams).astype(np.float32)
+    cams, depth_range = B.build_scene()
     src_rgbs = jnp.asarray(rng.rand(N_SRC, H, W, 3).astype(np.float32))
     src_cams = jnp.asarray(cams[1:])
     target_cam = cams[0]
@@ -104,10 +90,30 @@ def main():
     intr = target_cam[2:18].reshape(4, 4)
     c2w = target_cam[18:34].reshape(4, 4)
     rays_o, rays_d = get_rays(H, W, jnp.asarray(intr), jnp.asarray(c2w))
+    if B.USE_BSPG:
+        import dataclasses as _dc
+
+        from nerfool_tpu.ops.bspg import plan_render_specs
+
+        specs = plan_render_specs(
+            target_cam[None], cams[1:], depth_range.reshape(-1),
+            (H, W), feats[0].shape[1:3], block=(8, 8),
+        )
+        if specs is not None:
+            cfg = _dc.replace(cfg, bspg_specs=specs,
+                              bspg_pallas=B.BSPG_PALLAS)
+            bh, bw = specs[0].block
+            hp, wp = -(-H // bh) * bh, -(-W // bw) * bw
+            yy, xx = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
+            sidx = np.minimum(yy, H - 1) * W + np.minimum(xx, W - 1)
+            perm = (sidx.reshape(hp // bh, bh, wp // bw, bw)
+                    .transpose(0, 2, 1, 3).reshape(-1))
+            rays_o = rays_o[jnp.asarray(perm)]
+            rays_d = rays_d[jnp.asarray(perm)]
     seg = int(os.environ.get("BENCH_MAX_SEG", 131072))
     batch = {
         "ray_o": rays_o[:seg], "ray_d": rays_d[:seg],
-        "depth_range": jnp.asarray(np.array([[2.0, 6.0]], np.float32)),
+        "depth_range": jnp.asarray(depth_range),
         "camera": jnp.asarray(target_cam[None]),
     }
 
@@ -148,7 +154,7 @@ def main():
     acfg = AttackConfig(h=H, w=W, n_rand=int(os.environ.get("BENCH_NRAND", 512)),
                         use_adam=True, adam_lr=1e-3, epsilon=8.0)
     attack_cfg = dataclasses.replace(cfg, compute_dtype=B.ATTACK_DTYPE,
-                                     use_pallas=False)
+                                     bspg_specs=None)
     target = {
         "camera": jnp.asarray(target_cam),
         "rgb": jnp.asarray(rng.rand(H * W, 3).astype(np.float32)),
