@@ -150,13 +150,16 @@ def main():
         specs = plan_render_specs(
             target_cam[None], src_cams, depth_range.reshape(-1),
             (H, W), feats[0].shape[1:3], block=(8, 8),
+            n_samples=N_SAMPLES, n_importance=N_IMPORTANCE,
+            inv_uniform=cfg.inv_uniform,
         )
         if specs is None:
             log("BSPG planner found no admissible patch size; per-tap path")
         else:
             cfg = _dc.replace(cfg, bspg_specs=specs, bspg_pallas=BSPG_PALLAS)
-            log(f"BSPG: feat p={specs[0].p} groups={specs[0].groups} | "
-                f"rgb p={specs[1].p} groups={specs[1].groups}")
+            log(f"BSPG: feat p={specs[0].p} groups={specs[0].groups} "
+                f"kwin={specs[0].kwin} | rgb p={specs[1].p} "
+                f"groups={specs[1].groups} kwin={specs[1].kwin}")
             # block-major ray order (render_image does this internally; the
             # bench drives _render_blocked_jit directly)
             bh, bw = specs[0].block

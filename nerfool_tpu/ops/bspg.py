@@ -63,6 +63,10 @@ class BSPGSpec:
     pbx: int
     block: Tuple[int, int]  # (bh, bw) rays per block
     groups: Tuple[Tuple[Tuple[int, ...], int], ...]  # (views, K_path)
+    # per-group plan-time bound on the L1 patch-cell span any depth-major
+    # sample chunk can realize (plan_window_spans); None disables windowed
+    # selection
+    kwin: Tuple[int, ...] = None
 
     @property
     def sy(self):
@@ -203,22 +207,158 @@ def plan_block_groups(target_cams, src_cams, depth_range, hw_sample, p,
     return tuple(groups), r_max
 
 
-def make_block_spec(groups, p, hw_sample, hw_full, block=(8, 8)):
+def plan_window_spans(target_cams, src_cams, depth_range, hw_sample, p,
+                      block=(8, 8), render_stride=1, n_samples=64,
+                      n_importance=64, inv_uniform=False, ray_grid=3,
+                      group_rows=8, slack=4):
+    """Host planner: per-view upper bound on the L1 patch-cell span any
+    depth-major sample chunk of the windowed selector can realize.
+
+    A chunk covers ``ceil(sblk / n_rays)`` consecutive depth slices of one
+    block (+1 boundary slice; the fine pass's merged z-values have gaps
+    bounded by the coarse spacing, so the coarse grid bounds it too with one
+    extra slice). The kernels share one slot window across ``group_rows``
+    raster-consecutive blocks, so the span is taken over the union of their
+    walks. Rays are lattice-sampled per block (``ray_grid`` x ``ray_grid``
+    including the corners); interior-ray projections lie in the corner convex
+    hull, whose L1-distance max is attained at the vertices, and the min-side
+    hull/floor wobble is absorbed by ``slack`` extra cells.
+
+    :return: spans [V] int64 (patch cells, slack included)
+    """
+    target_cams = np.asarray(target_cams, np.float64).reshape(-1, 34)
+    src_cams = np.asarray(src_cams, np.float64).reshape(-1, 34)
+    near, far = float(depth_range[0]), float(depth_range[1])
+    h_s, w_s = hw_sample
+    v = src_cams.shape[0]
+    bh, bw = block
+    n_rays = bh * bw
+
+    # worst chunk window width, in coarse depth slices
+    widths = []
+    for c_class, s_lvl in ((3, n_samples), (3, n_samples + n_importance),
+                           (512, n_samples), (512, n_samples + n_importance)):
+        sblk = _window_sblk(n_rays * s_lvl, c_class)
+        if sblk:
+            widths.append(-(-sblk // n_rays) + 1)
+    window = (max(widths) if widths else n_samples) + 2
+
+    # actual sample depths (det): uniform in z or in 1/z
+    steps = np.arange(n_samples, dtype=np.float64)
+    if inv_uniform:
+        z_grid = 1.0 / (1.0 / near + steps * (1.0 / far - 1.0 / near)
+                        / (n_samples - 1))
+    else:
+        z_grid = near + steps * (far - near) / (n_samples - 1)
+    t_grid = (z_grid - near) / (far - near)  # homogeneous lerp fractions
+
+    spans = np.zeros(v, np.int64)
+    for tcam in target_cams:
+        h, w = int(tcam[0]), int(tcam[1])
+        intr = tcam[2:18].reshape(4, 4)
+        c2w = tcam[18:34].reshape(4, 4)
+        ys0 = np.arange(0, h, bh * render_stride, dtype=np.float64)
+        xs0 = np.arange(0, w, bw * render_stride, dtype=np.float64)
+        base = np.stack(np.meshgrid(ys0, xs0, indexing="ij"), -1).reshape(-1, 2)
+        nb = base.shape[0]
+        offs = np.stack(np.meshgrid(
+            np.linspace(0.0, (bh - 1) * render_stride, ray_grid),
+            np.linspace(0.0, (bw - 1) * render_stride, ray_grid),
+            indexing="ij"), -1).reshape(-1, 2)      # [L, 2] (y, x)
+        nl = offs.shape[0]
+        lat = base[:, None, :] + offs[None, :, :]   # [B, L, 2]
+        pix = np.concatenate([lat[..., 1:2], lat[..., 0:1],
+                              np.ones_like(lat[..., :1])],
+                             axis=-1).reshape(-1, 3).T
+        dirs = c2w[:3, :3] @ (np.linalg.inv(intr[:3, :3]) @ pix)  # [3, B*L]
+        o = c2w[:3, 3:4]
+        # 4-corner subset of the lattice for the center-segment start cells
+        cidx = np.array([0, ray_grid - 1, (ray_grid - 1) * ray_grid,
+                         ray_grid * ray_grid - 1])
+
+        for vi, scam in enumerate(src_cams):
+            hf, wf = scam[0], scam[1]
+            sy = 1.0 if hf <= 1 else (h_s - 1) / (hf - 1)
+            sx = 1.0 if wf <= 1 else (w_s - 1) / (wf - 1)
+            proj = scam[2:18].reshape(4, 4) @ np.linalg.inv(
+                scam[18:34].reshape(4, 4))
+            pa = (proj[:3, :3] @ (o + dirs * near) + proj[:3, 3:4])  # [3,B*L]
+            pb = (proj[:3, :3] @ (o + dirs * far) + proj[:3, 3:4])
+            ph = (pa[:, :, None]
+                  + t_grid[None, None, :] * (pb - pa)[:, :, None])  # [3,BL,S]
+            z = np.clip(ph[2], EPS_Z, None)
+            ok = ph[2] > EPS_Z
+            scl = np.array([sx, sy]).reshape(2, 1, 1)
+            q = np.where(ok, ph[:2] / z, np.inf) * scl              # [2,BL,S]
+            # relevance: any lattice ray inside the base rect at this z
+            in_rect = (ok & (q[0] >= -1.0) & (q[0] <= w_s)
+                       & (q[1] >= -1.0) & (q[1] <= h_s))
+            rel = in_rect.reshape(nb, nl, n_samples).any(axis=1)    # [B, S]
+            # clamped walk-space cells (the clip rect is grid + p margin)
+            qc = np.clip(q, [[[-1.0 - p]], [[-1.0 - p]]],
+                         [[[w_s + p]], [[h_s + p]]])
+            cell = ((np.floor(qc).astype(np.int64) + 1) // p)       # [2,BL,S]
+            # start cells from the clipped center segment (corner means)
+            pa4 = pa.reshape(3, nb, nl)[:, :, cidx]
+            pb4 = pb.reshape(3, nb, nl)[:, :, cidx]
+            qa, _ = _clip_segment_np(pa4.mean(axis=2), pb4.mean(axis=2),
+                                     w_s, h_s, sx, sy, margin=p)
+            start = (np.floor(qa).astype(np.int64) + 1) // p        # [2, B]
+            d = (np.abs(cell[0].reshape(nb, nl, -1) - start[0][:, None, None])
+                 + np.abs(cell[1].reshape(nb, nl, -1)
+                          - start[1][:, None, None]))               # [B,L,S]
+            d = np.where(rel[:, None, :], d, -1)
+            # union over lattice rays and group_rows raster-consecutive blocks
+            pad = (-nb) % group_rows
+            if pad:
+                d = np.concatenate([d, np.full((pad, nl, n_samples), -1,
+                                               np.int64)], axis=0)
+                rel = np.concatenate(
+                    [rel, np.zeros((pad, n_samples), bool)], axis=0)
+            b8 = d.shape[0] // group_rows
+            d8 = d.reshape(b8, group_rows, nl, n_samples)
+            rel8 = rel.reshape(b8, group_rows, n_samples)[:, :, None, :]
+            rel8 = np.broadcast_to(rel8, d8.shape)
+            big = 1 << 30
+            dmax = d8.max(axis=(1, 2))                              # [b8, S]
+            dmin = np.where(rel8, d8, big).min(axis=(1, 2))
+            # sliding chunk windows over the sample axis
+            span_v = 0
+            for s0 in range(0, n_samples - 1):
+                s1 = min(n_samples, s0 + window)
+                wmax = dmax[:, s0:s1].max(axis=1)
+                wmin = dmin[:, s0:s1].min(axis=1)
+                valid = wmax >= 0
+                if valid.any():
+                    span_v = max(span_v, int(
+                        (wmax[valid] - np.minimum(wmin[valid], wmax[valid]))
+                        .max()))
+            spans[vi] = max(spans[vi], span_v + slack)
+    return spans
+
+
+def make_block_spec(groups, p, hw_sample, hw_full, block=(8, 8), kwin=None):
     h_s, w_s = hw_sample
     h_f, w_f = hw_full
     return BSPGSpec(
         p=p, h=int(h_s), w=int(w_s), h_full=int(h_f), w_full=int(w_f),
         pby=_patch_grid(int(h_s), p), pbx=_patch_grid(int(w_s), p),
         block=tuple(block), groups=groups,
+        kwin=None if kwin is None else tuple(int(k) for k in kwin),
     )
 
 
-def build_block_slots(pa_corners, pb_corners, spec: BSPGSpec):
+def build_block_slots(pa_corners, pb_corners, spec: BSPGSpec,
+                      return_starts=False):
     """Per (view, block): dilated center-path patch slots.
 
     :param pa_corners, pb_corners: [V, B, 4, 3] homogeneous projections of the
         4 block-corner rays at near / far
+    :param return_starts: also return the walk start cells per group
+        ((pbx0, pby0) [Vg, B] int32 each) — the windowed selector's slot
+        positions are keyed on L1 cell distance from the start
     :return: list over spec.groups of slot arrays [Vg, B, Ks] (int32, -1 pads)
+        (and, if requested, the matching list of start-cell pairs)
     """
     pa_corners = jax.lax.stop_gradient(pa_corners)
     pb_corners = jax.lax.stop_gradient(pb_corners)
@@ -236,11 +376,16 @@ def build_block_slots(pa_corners, pb_corners, spec: BSPGSpec):
     )
 
     out = []
+    starts = []
     for views, k_path in spec.groups:
         vi = jnp.asarray(views)
         out.append(_dilated_walk(
             cax[vi], cay[vi], cbx[vi], cby[vi], spec, k_path
         ))
+        rawcb = lambda x: jnp.floor(x).astype(jnp.int32) + 1
+        starts.append((rawcb(cax[vi]) // spec.p, rawcb(cay[vi]) // spec.p))
+    if return_starts:
+        return out, starts
     return out
 
 
@@ -352,7 +497,7 @@ def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,
                 out = select_block_pallas_smallc(
                     g, slots, ing["pid"], ing["ly"], ing["fy"], ing["vy0"],
                     ing["vy1"], ing["lx"], ing["fx"], ing["vx0"],
-                    ing["vx1"], spec, c,
+                    ing["vx1"], spec, c, out_dtype=dt,
                 )
             else:
                 out = select_block_pallas_ingredients(
@@ -381,14 +526,20 @@ def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,
 def plan_render_specs(target_cams, src_cams, depth_range, rgb_hw, feat_hw,
                       block=(8, 8), render_stride=1,
                       feat_ps=(4, 6, 8, 12, 16), rgb_ps=(8, 12, 16, 24, 32),
-                      max_slots=None):
+                      max_slots=None, n_samples=64, n_importance=64,
+                      inv_uniform=False, windows=True):
     """Convenience planner: (spec_feat, spec_rgb) for whole-frame rendering,
     or None when no patch size satisfies the coverage bound (caller falls back
     to the per-tap gather).
 
     Picks the smallest admissible patch size per table — selection FLOPs scale
     with K*(p+1)^2*C and small p minimizes that product once coverage holds.
+    With ``windows`` the specs carry plan_window_spans bounds (spec.kwin) so
+    the windowed Pallas selector can size its per-chunk slot windows; the cost
+    model then uses the windowed width for the dominant per-sample work.
     """
+    from nerfool_tpu.ops.bspg_kernel import KB
+
     def pick(hw_sample, ps):
         best = None
         best_cost = None
@@ -403,15 +554,31 @@ def plan_render_specs(target_cams, src_cams, depth_range, rgb_hw, feat_hw,
             worst = max(9 + 3 * (k - 1) for _, k in groups)
             if max_slots is not None and worst > max_slots:
                 continue
-            # selection FLOPs scale with sum_views K_slots * (p+1)^2
-            cost = sum(len(v) * (9 + 3 * (k - 1)) * (p + 1) ** 2
-                       for v, k in groups)
+            kwin = None
+            if windows:
+                spans = plan_window_spans(
+                    target_cams, src_cams, depth_range, hw_sample, p,
+                    block=block, render_stride=render_stride,
+                    n_samples=n_samples, n_importance=n_importance,
+                    inv_uniform=inv_uniform,
+                )
+                kwin = tuple(int(max(spans[list(v)])) for v, _ in groups)
+            # per-sample selection work scales with the contracted one-hot
+            # width (windowed where available) x (p+1)^2
+            def width(gi, k):
+                ks_pad = -(-(9 + 3 * (k - 1)) // KB) * KB
+                if kwin is None:
+                    return ks_pad
+                return min(ks_pad, -(-(3 * kwin[gi] + 27) // KB) * KB)
+            cost = sum(len(v) * width(gi, k) * (p + 1) ** 2
+                       for gi, (v, k) in enumerate(groups))
             if best_cost is None or cost < best_cost:
                 best_cost = cost
                 best = make_block_spec(
                     groups, p, hw_sample,
                     (int(target_cams.reshape(-1, 34)[0][0]),
-                     int(target_cams.reshape(-1, 34)[0][1])), block=block)
+                     int(target_cams.reshape(-1, 34)[0][1])), block=block,
+                    kwin=kwin)
         return best
 
     target_cams = np.asarray(target_cams, np.float64)
@@ -422,3 +589,178 @@ def plan_render_specs(target_cams, src_cams, depth_range, rgb_hw, feat_hw,
     if spec_r is None:
         return None
     return spec_f, spec_r
+
+
+def _window_sblk(ns, c):
+    """Sample-chunk length for windowed selection (multiple of 128 dividing
+    ns; narrow-channel stage-2 temporaries allow longer chunks)."""
+    sblk = 512 if c <= 8 else 256
+    while ns % sblk and sblk > 128:
+        sblk //= 2
+    return sblk if ns % sblk == 0 else 0
+
+
+def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
+                             spec: BSPGSpec, c, kw_override=None,
+                             debug=None):
+    """Windowed Pallas selection: depth-major sample chunks only compare/
+    contract against the Kw-slot window of the walk their depth range can
+    touch (slot position ~ 3 * L1 cell distance from the walk start + the
+    9-slot init ring; see bspg_kernel.py windowed section).
+
+    Window widths come from the plan-time span bound ``spec.kwin`` (per
+    group; plan_window_spans evaluates the realizable chunk spans from the
+    actual camera geometry and sample depths). Falls back to the full-width
+    kernels per group when no bound is available or the window would not be
+    narrower than the padded slot list.
+    """
+    from nerfool_tpu.ops.bspg_kernel import (
+        GB,
+        KB,
+        select_block_pallas_ingredients,
+        select_block_pallas_smallc,
+        select_win_fused,
+        select_win_smallc,
+    )
+    from nerfool_tpu.ops.spg import _sample_ingredients
+
+    v, b, n, s = gx.shape
+    dt = g_groups[0].dtype
+    p = spec.p
+    p1 = p + 1
+    sp = p1 * p1
+    ns = n * s
+
+    ix = (gx + 1.0) * 0.5 * (spec.w - 1)
+    iy = (gy + 1.0) * 0.5 * (spec.h - 1)
+
+    outs = []
+    for gi, ((views, k_path), slots, (px0, py0), g) in enumerate(zip(
+            spec.groups, slots_groups, starts_groups, g_groups)):
+        vi = jnp.asarray(views)
+        vg = len(views)
+        ks = spec.k_slots(k_path)
+        n_rv = vg * b
+        sblk = _window_sblk(ns, c)
+        ks_pad = -(-ks // KB) * KB
+        if kw_override is not None:
+            kw = min(kw_override, ks_pad)
+        elif spec.kwin is not None and sblk:
+            # window must cover [lo, hi] of any realizable chunk:
+            # hi - lo <= 3 * span + 27 (see the w0 placement below)
+            kw = min(ks_pad, -(-(3 * spec.kwin[gi] + 27) // KB) * KB)
+        else:
+            kw = ks_pad
+        if debug is not None:
+            debug.append((kw, ks_pad, sblk))
+
+        if kw >= ks_pad or n_rv % GB or not sblk:
+            # no window benefit: full-width kernels on ray-major ingredients
+            ixg = ix[vi].reshape(vg, b, ns)
+            iyg = iy[vi].reshape(vg, b, ns)
+            ing = _sample_ingredients(ixg, iyg, spec.as_spg(), dt)
+            fn = (select_block_pallas_smallc if c <= 8
+                  else select_block_pallas_ingredients)
+            out = fn(g, slots, ing["pid"], ing["ly"], ing["fy"], ing["vy0"],
+                     ing["vy1"], ing["lx"], ing["fx"], ing["vx0"],
+                     ing["vx1"], spec, c, out_dtype=dt).astype(dt)
+            outs.append(out.reshape(vg, b, n, s, c))
+            continue
+
+        # depth-major ingredients: chunk = contiguous depth range per block
+        ixg = ix[vi].transpose(0, 1, 3, 2).reshape(vg, b, ns)
+        iyg = iy[vi].transpose(0, 1, 3, 2).reshape(vg, b, ns)
+        ing = _sample_ingredients(ixg, iyg, spec.as_spg(), dt)
+        nsb = ns // sblk
+        nr8 = n_rv // GB
+        n_flat = nsb * n_rv
+
+        # per-chunk windows from the L1-distance invariant
+        pid = ing["pid"].reshape(n_rv, ns)
+        pbx = pid % spec.pbx
+        pby = pid // spec.pbx
+        px0f = px0.reshape(n_rv)[:, None]
+        py0f = py0.reshape(n_rv)[:, None]
+        pos = jnp.abs(pbx - px0f) + jnp.abs(pby - py0f)
+        rel = (((ing["vy0"] + ing["vy1"]) > 0.5)
+               & ((ing["vx0"] + ing["vx1"]) > 0.5)).reshape(n_rv, ns)
+        pos2 = pos.reshape(nr8, GB, nsb, sblk)
+        rel2 = rel.reshape(nr8, GB, nsb, sblk)
+        big = jnp.int32(1 << 30)
+        pmin = jnp.min(jnp.where(rel2, pos2, big), axis=(1, 3))   # [nr8, nsb]
+        pmax = jnp.max(jnp.where(rel2, pos2, -1), axis=(1, 3))
+        lo = jnp.where(pmin <= 3, 0, 3 * pmin - 3)
+        hi = 3 * pmax + 18
+        w0 = jnp.where(hi - lo <= kw, lo, (lo + hi - kw) // 2)
+        w0 = jnp.clip(w0, 0, ks_pad - kw)
+        w0b = (w0 // KB).astype(jnp.int32)                         # [nr8, nsb]
+        w0b_flat = w0b.T.reshape(-1)                               # chunk-major
+
+        # windowed slot values
+        slots2 = slots.reshape(n_rv, ks)
+        slots2 = jnp.pad(slots2, ((0, 0), (0, ks_pad - ks)),
+                         constant_values=-1)
+        w0_row = jnp.broadcast_to((w0b * KB)[:, None, :], (nr8, GB, nsb)
+                                  ).reshape(n_rv, nsb)
+        idx = w0_row[..., None] + jnp.arange(kw)[None, None]       # [n_rv,nsb,kw]
+        wslots = jnp.take_along_axis(
+            jnp.broadcast_to(slots2[:, None, :], (n_rv, nsb, ks_pad)),
+            idx, axis=2,
+        )
+
+        def cm(x):  # [n_rv, ns] -> chunk-major [n_flat, sblk]
+            return (x.reshape(n_rv, nsb, sblk).transpose(1, 0, 2)
+                    .reshape(n_flat, sblk))
+
+        f32 = jnp.float32
+        pid_cm = cm(pid)
+        ly_cm = cm(ing["ly"].reshape(n_rv, ns))
+        lx_cm = cm(ing["lx"].reshape(n_rv, ns))
+        fy = ing["fy"].reshape(n_rv, ns)
+        fx = ing["fx"].reshape(n_rv, ns)
+        wy0 = cm(((1.0 - fy) * ing["vy0"].reshape(n_rv, ns)).astype(f32))
+        wy1 = cm((fy * ing["vy1"].reshape(n_rv, ns)).astype(f32))
+        wx0 = cm(((1.0 - fx) * ing["vx0"].reshape(n_rv, ns)).astype(f32))
+        wx1 = cm((fx * ing["vx1"].reshape(n_rv, ns)).astype(f32))
+
+        if c <= 8:
+            csp = c * sp
+            gc = g.reshape(n_rv, ks, sp, c).transpose(0, 1, 3, 2)
+            gc = gc.reshape(n_rv, ks, csp)
+            gc = jnp.pad(gc, ((0, 0), (0, ks_pad - ks), (0, 0)))
+            j = np.arange(csp)
+            off = j % sp
+            dy_lane = jnp.asarray(off // p1, jnp.int32)[None]
+            dx_lane = jnp.asarray(off % p1, jnp.int32)[None]
+            ch_onehot = jnp.asarray(
+                (j // sp)[:, None] == np.arange(c)[None, :], f32)
+            wslots_cm = wslots.transpose(1, 0, 2).reshape(n_flat, kw)
+            out = select_win_smallc(
+                gc, wslots_cm, w0b_flat, pid_cm, ly_cm, wy0, wy1, lx_cm,
+                wx0, wx1, dy_lane, dx_lane, ch_onehot,
+                n_rv=n_rv, kw=kw, sp=sp, c=c, sblk=sblk, out_dtype=dt,
+            )
+        else:
+            w_lanes = kw * sp
+            gf = g.reshape(n_rv, ks, sp * c)
+            gf = jnp.pad(gf, ((0, 0), (0, ks_pad - ks), (0, 0)))
+            gf = gf.reshape(n_rv, ks_pad * sp, c)  # free: row-major no-op
+            srep = jnp.repeat(wslots, sp, axis=-1)
+            srep_cm = srep.transpose(1, 0, 2).reshape(n_flat, w_lanes)
+            j = np.arange(w_lanes)
+            dy_lane = jnp.asarray((j // p1) % p1, jnp.int32)[None]
+            dx_lane = jnp.asarray(j % p1, jnp.int32)[None]
+            out = select_win_fused(
+                gf, srep_cm, w0b_flat, pid_cm, ly_cm, wy0, wy1, lx_cm,
+                wx0, wx1, dy_lane, dx_lane,
+                n_rv=n_rv, kw=kw, sp=sp, c=c, sblk=sblk, out_dtype=dt,
+            )
+
+        out = (out.reshape(nsb, n_rv, sblk, c).transpose(1, 0, 2, 3)
+               .reshape(vg, b, s, n, c).transpose(0, 1, 3, 2, 4))
+        outs.append(out)
+
+    out = jnp.concatenate(outs, axis=0)
+    order = np.concatenate([np.asarray(vs) for vs, _ in spec.groups])
+    inv = np.argsort(order)
+    return out[jnp.asarray(inv)]

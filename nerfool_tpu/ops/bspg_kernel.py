@@ -142,7 +142,8 @@ def _select_kernel(slots_rep_ref, dy_lane_ref, dx_lane_ref,
 
 
 def select_block_pallas_smallc(g, slots, pid, ly, fy, vy0, vy1,
-                               lx, fx, vx0, vx1, spec, c, sblk=None):
+                               lx, fx, vx0, vx1, spec, c, sblk=None,
+                               out_dtype=None):
     """Two-stage Pallas selection for narrow-channel tables (rgb, c<=8).
 
     The combined (slot, dy, dx) one-hot would contract a K*(p+1)^2-wide axis
@@ -212,7 +213,8 @@ def select_block_pallas_smallc(g, slots, pid, ly, fy, vy0, vy1,
             pl.BlockSpec((GB, ks, csp), lambda i, s: (i, 0, 0)),   # gc
         ],
         out_specs=pl.BlockSpec((GB, sblk, c), lambda i, s: (i, s, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_rv, ns, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rv, ns, c),
+                                       out_dtype or jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(slots2, dy_lane, dx_lane, ch_onehot, pid2, ly2, wy0, wy1, lx2, wx0,
       wx1, gc)
@@ -244,4 +246,188 @@ def _select_smallc_kernel(slots_ref, dy_lane_ref, dx_lane_ref, ch_ref,
     out_ref[...] = jax.lax.dot_general(
         zw, ch_ref[...], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                              # [GB,S,c]
+    ).astype(out_ref.dtype)                                        # [GB,S,c]
+
+
+# ---------------------------------------------------------------------------
+# Windowed selection (slot windows per (row-group, depth-chunk))
+#
+# Samples arrive DEPTH-MAJOR per block, so a contiguous sample chunk spans a
+# narrow depth range whose epipolar footprint touches only a narrow window of
+# the walk's slot sequence (slot position ~ 3 * L1 cell distance from the
+# walk start + the 9-slot init ring). The XLA side computes a per
+# (GB-row-group, chunk) window start w0b (units of KB slots); the kernels DMA
+# only the m = Kw/KB window blocks of the patch table via scalar-prefetch
+# index maps — the one-hot width shrinks from Ks*(p+1)^2 to Kw*(p+1)^2
+# without any HBM duplication of patch rows.
+# ---------------------------------------------------------------------------
+
+KB = 8  # slot-window granularity (slots per prefetch block)
+
+
+def _win_compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def select_win_fused(g_fused, slots_rep_win, w0b, pid, ly, wy0, wy1,
+                     lx, wx0, wx1, dy_lane, dx_lane, *, n_rv, kw, sp, c,
+                     sblk, out_dtype):
+    """Windowed one-hot selection (wide-channel tables, e.g. features).
+
+    :param g_fused: [n_rv, ks_pad*sp, c] patch rows on the fused
+        (slot, dy, dx) axis (a free XLA reshape of [n_rv, ks_pad, sp*c])
+    :param slots_rep_win: [n_flat, kw*sp] windowed slot ids repeated over sp
+        (chunk-major flat: row j = chunk * n_rv + rv)
+    :param w0b: [n_steps] int32 window block starts (units of KB slots),
+        chunk-major per GB-row grid step
+    :param pid..wx1: [n_flat, sblk] per-sample ingredients (chunk-major flat)
+    :return: [n_flat, sblk, c] out_dtype
+    """
+    n_flat = pid.shape[0]
+    w = kw * sp
+    m = kw // KB
+    assert kw % KB == 0 and n_rv % GB == 0 and n_flat % n_rv == 0
+    nr8 = n_rv // GB
+    n_steps = n_flat // GB
+    grid = (n_steps,)
+    from jax.experimental.pallas import tpu as pltpu
+
+    gspec = []
+    for j in range(m):
+        gspec.append(pl.BlockSpec(
+            (GB, KB * sp, c),
+            lambda i, ref, j=j: (i % nr8, ref[i] + j, 0),
+        ))
+    persamp = pl.BlockSpec((GB, sblk), lambda i, ref: (i, 0))
+    const = pl.BlockSpec((1, w), lambda i, ref: (0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_select_win_fused_kernel, m=m),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((GB, w), lambda i, ref: (i, 0)),  # slots_rep_win
+                const, const,                                   # dy/dx lanes
+                persamp, persamp, persamp, persamp,             # pid, ly, wy0, wy1
+                persamp, persamp, persamp,                      # lx, wx0, wx1
+                *gspec,
+            ],
+            out_specs=pl.BlockSpec((GB, sblk, c), lambda i, ref: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_flat, sblk, c), out_dtype),
+        compiler_params=_win_compiler_params(),
+        interpret=jax.default_backend() != "tpu",
+    )(w0b, slots_rep_win, dy_lane, dx_lane, pid, ly, wy0, wy1, lx, wx0, wx1,
+      *([g_fused] * m))
+    return out
+
+
+def _select_win_fused_kernel(w0b_ref, slots_rep_ref, dy_lane_ref, dx_lane_ref,
+                             pid_ref, ly_ref, wy0_ref, wy1_ref,
+                             lx_ref, wx0_ref, wx1_ref, *rest, m):
+    g_refs, out_ref = rest[:m], rest[m]
+    gwin = jnp.concatenate([g_refs[j][...] for j in range(m)], axis=1)
+    dt = gwin.dtype             # [GB, Kw*sp, c]
+    pid = pid_ref[...]          # [GB, S]
+    ly = ly_ref[...]
+    lx = lx_ref[...]
+    srep = slots_rep_ref[...]   # [GB, W]
+    dyl = dy_lane_ref[0]        # [W]
+    dxl = dx_lane_ref[0]
+
+    eq = pid[:, :, None] == srep[:, None, :]                      # [GB, S, W]
+    wy = jnp.where(dyl[None, None, :] == ly[:, :, None], wy0_ref[...][:, :, None],
+                   jnp.where(dyl[None, None, :] == ly[:, :, None] + 1,
+                             wy1_ref[...][:, :, None], 0.0))
+    wx = jnp.where(dxl[None, None, :] == lx[:, :, None], wx0_ref[...][:, :, None],
+                   jnp.where(dxl[None, None, :] == lx[:, :, None] + 1,
+                             wx1_ref[...][:, :, None], 0.0))
+    w = jnp.where(eq, wy * wx, 0.0).astype(dt)
+    out = jax.lax.dot_general(
+        w, gwin, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def select_win_smallc(g, slots_win, w0b, pid, ly, wy0, wy1, lx, wx0, wx1,
+                      dy_lane, dx_lane, ch_onehot, *, n_rv, kw, sp, c,
+                      sblk, out_dtype):
+    """Windowed two-stage selection (narrow-channel tables, e.g. rgb).
+
+    :param g: [n_rv, ks_pad, c*sp] channel-major patch rows
+    :param slots_win: [n_flat, kw] windowed slot ids (chunk-major flat)
+    """
+    n_flat = pid.shape[0]
+    csp = c * sp
+    m = kw // KB
+    assert kw % KB == 0 and n_rv % GB == 0
+    nr8 = n_rv // GB
+    n_steps = n_flat // GB
+    from jax.experimental.pallas import tpu as pltpu
+
+    gspec = []
+    for j in range(m):
+        gspec.append(pl.BlockSpec(
+            (GB, KB, csp),
+            lambda i, ref, j=j: (i % nr8, ref[i] + j, 0),
+        ))
+    persamp = pl.BlockSpec((GB, sblk), lambda i, ref: (i, 0))
+    const = pl.BlockSpec((1, csp), lambda i, ref: (0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_select_win_smallc_kernel, m=m),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((GB, kw), lambda i, ref: (i, 0)),   # slots_win
+                const, const,                                     # dy/dx lanes
+                pl.BlockSpec((csp, c), lambda i, ref: (0, 0)),    # ch_onehot
+                persamp, persamp, persamp, persamp,               # pid, ly, wy0, wy1
+                persamp, persamp, persamp,                        # lx, wx0, wx1
+                *gspec,
+            ],
+            out_specs=pl.BlockSpec((GB, sblk, c), lambda i, ref: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_flat, sblk, c), out_dtype),
+        compiler_params=_win_compiler_params(),
+        interpret=jax.default_backend() != "tpu",
+    )(w0b, slots_win, dy_lane, dx_lane, ch_onehot, pid, ly, wy0, wy1,
+      lx, wx0, wx1, *([g] * m))
+    return out
+
+
+def _select_win_smallc_kernel(w0b_ref, slots_ref, dy_lane_ref, dx_lane_ref,
+                              ch_ref, pid_ref, ly_ref, wy0_ref, wy1_ref,
+                              lx_ref, wx0_ref, wx1_ref, *rest, m):
+    g_refs, out_ref = rest[:m], rest[m]
+    gwin = jnp.concatenate([g_refs[j][...] for j in range(m)], axis=1)
+    dt = gwin.dtype
+    pid = pid_ref[...]          # [GB, S]
+    swin = slots_ref[...]       # [GB, Kw]
+    eq = (pid[:, :, None] == swin[:, None, :]).astype(dt)          # [GB,S,Kw]
+    z = jax.lax.dot_general(
+        eq, gwin, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                              # [GB,S,c*sp]
+
+    dyl = dy_lane_ref[0]        # [c*sp]
+    dxl = dx_lane_ref[0]
+    ly = ly_ref[...]
+    lx = lx_ref[...]
+    wy = jnp.where(dyl[None, None, :] == ly[:, :, None], wy0_ref[...][:, :, None],
+                   jnp.where(dyl[None, None, :] == ly[:, :, None] + 1,
+                             wy1_ref[...][:, :, None], 0.0))
+    wx = jnp.where(dxl[None, None, :] == lx[:, :, None], wx0_ref[...][:, :, None],
+                   jnp.where(dxl[None, None, :] == lx[:, :, None] + 1,
+                             wx1_ref[...][:, :, None], 0.0))
+    zw = z * (wy * wx)
+    out = jax.lax.dot_general(
+        zw, ch_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[...] = out.astype(out_ref.dtype)

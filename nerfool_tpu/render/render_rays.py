@@ -69,6 +69,10 @@ class RenderConfig:
     # route BSPG sample selection through the Pallas kernel (VMEM one-hots);
     # off -> XLA einsum selection (small batches / CPU tests)
     bspg_pallas: bool = True
+    # windowed BSPG selection: depth-major sample chunks contract only the
+    # Kw-slot window of the walk their depth range can touch (~2-3x less
+    # one-hot width on the dominant wide-K view groups)
+    bspg_window: bool = True
 
 
 def make_shade_fn(model, cfg: RenderConfig) -> Callable:
@@ -456,6 +460,7 @@ def _render_rays_bspg(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
         build_block_slots,
         gather_block_patches,
         select_block_samples,
+        select_block_samples_win,
     )
     from nerfool_tpu.ops.spg import project_endpoints
     from nerfool_tpu.render.projection import (
@@ -489,11 +494,12 @@ def _render_rays_bspg(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
     pa = pa.reshape(v, b, 4, 3)
     pb = pb.reshape(v, b, 4, 3)
 
-    slots_f = build_block_slots(pa, pb, spec_f)
-    slots_r = build_block_slots(pa, pb, spec_r)
+    slots_f, starts_f = build_block_slots(pa, pb, spec_f, return_starts=True)
+    slots_r, starts_r = build_block_slots(pa, pb, spec_r, return_starts=True)
     tabs = packed["bspg"]
     g_rgb = gather_block_patches(tabs["rgb"], slots_r, spec_r)
     c_feat = packed["shapes"]["feat"][0][-1]
+    windowed = cfg.bspg_window and cfg.bspg_pallas
 
     def sample_level(pts_l, li):
         s = pts_l.shape[1]
@@ -504,12 +510,22 @@ def _render_rays_bspg(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
         gxb = gx.reshape(v, b, npb, s)
         gyb = gy.reshape(v, b, npb, s)
         g_f = gather_block_patches(tabs["feat"][li], slots_f, spec_f)
-        feat = select_block_samples(
-            g_f, slots_f, gxb, gyb, spec_f, c_feat, use_pallas=cfg.bspg_pallas
-        ).reshape(v, r, s, c_feat)
-        rgb = select_block_samples(
-            g_rgb, slots_r, gxb, gyb, spec_r, 3, use_pallas=cfg.bspg_pallas
-        ).reshape(v, r, s, 3)
+        if windowed:
+            feat = select_block_samples_win(
+                g_f, slots_f, starts_f, gxb, gyb, spec_f, c_feat
+            ).reshape(v, r, s, c_feat)
+            rgb = select_block_samples_win(
+                g_rgb, slots_r, starts_r, gxb, gyb, spec_r, 3
+            ).reshape(v, r, s, 3)
+        else:
+            feat = select_block_samples(
+                g_f, slots_f, gxb, gyb, spec_f, c_feat,
+                use_pallas=cfg.bspg_pallas,
+            ).reshape(v, r, s, c_feat)
+            rgb = select_block_samples(
+                g_rgb, slots_r, gxb, gyb, spec_r, 3,
+                use_pallas=cfg.bspg_pallas,
+            ).reshape(v, r, s, 3)
         dxp, dyp, dzp, dot = compute_angle_planes(flat, cam, src_cameras)
         ray_diff = jnp.stack([dxp, dyp, dzp, dot], axis=-1).reshape(v, r, s, 4)
         mask = (inbound_mask_planes(px, py, h, w) & front).astype(

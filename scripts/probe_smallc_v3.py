@@ -1,0 +1,137 @@
+"""Smallc stage-2 variant C: per-axis weight vectors on (p+1) lanes expanded
+to c*sp lanes via MXU one-hot matmuls (VPU is the measured bottleneck)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerfool_tpu.ops.bspg_kernel import GB, KB, _win_compiler_params
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+    rng = np.random.RandomState(0)
+    B = 64
+    NS = 4096
+    REP = 16
+
+    for label, vg, ks, p, c, kw, sblk in [
+        ("rgb g1 C", 7, 132, 8, 3, 64, 512),
+        ("rgb g1 C sblk1024", 7, 132, 8, 3, 64, 1024),
+        ("rgb g2 C", 1, 162, 8, 3, 80, 512),
+    ]:
+        p1 = p + 1
+        sp = p1 * p1
+        csp = c * sp
+        n_rv = vg * B
+        ks_pad = -(-ks // KB) * KB
+        nsb = NS // sblk
+        n_flat = nsb * n_rv
+        n_steps = n_flat // GB
+        nr8 = n_rv // GB
+        m = kw // KB
+        dt = jnp.bfloat16
+        f32 = jnp.float32
+
+        gc = jnp.asarray(rng.rand(n_rv, ks_pad, csp), dt)
+        slots_win = jnp.asarray(rng.randint(0, 10000, (n_flat, kw)), jnp.int32)
+        w0b = jnp.asarray(rng.randint(0, (ks_pad - kw)//KB + 1, (n_steps,)), jnp.int32)
+        pid = jnp.asarray(rng.randint(0, 10000, (n_flat, sblk)), jnp.int32)
+        ly = jnp.asarray(rng.randint(0, p, (n_flat, sblk)), jnp.int32)
+        lx = jnp.asarray(rng.randint(0, p, (n_flat, sblk)), jnp.int32)
+        wy0 = jnp.asarray(rng.rand(n_flat, sblk), f32)
+        wy1 = jnp.asarray(rng.rand(n_flat, sblk), f32)
+        wx0 = jnp.asarray(rng.rand(n_flat, sblk), f32)
+        wx1 = jnp.asarray(rng.rand(n_flat, sblk), f32)
+        j = np.arange(csp)
+        off = j % sp
+        # expansion matrices: [p1, csp] one-hots (ride the MXU)
+        ey = jnp.asarray((off // p1)[None, :] == np.arange(p1)[:, None], f32)
+        ex = jnp.asarray((off % p1)[None, :] == np.arange(p1)[:, None], f32)
+        ch_onehot = jnp.asarray((j // sp)[:, None] == np.arange(c)[None, :], f32)
+
+        def kern_C(w0b_ref, slots_ref, ey_ref, ex_ref, ch_ref, pid_ref,
+                   ly_ref, wy0_ref, wy1_ref, lx_ref, wx0_ref, wx1_ref, *rest):
+            g_refs, out_ref = rest[:m], rest[m]
+            gwin = jnp.concatenate([g_refs[i][...] for i in range(m)], axis=1)
+            eq = (pid_ref[...][:, :, None] == slots_ref[...][:, None, :]).astype(gwin.dtype)
+            z = jax.lax.dot_general(eq, gwin, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            i9 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p1), 2)
+            ly3 = ly_ref[...][:, :, None]
+            lx3 = lx_ref[...][:, :, None]
+            wyv = (jnp.where(i9 == ly3, wy0_ref[...][:, :, None], 0.0)
+                   + jnp.where(i9 == ly3 + 1, wy1_ref[...][:, :, None], 0.0))
+            wxv = (jnp.where(i9 == lx3, wx0_ref[...][:, :, None], 0.0)
+                   + jnp.where(i9 == lx3 + 1, wx1_ref[...][:, :, None], 0.0))
+            wy = jax.lax.dot_general(wyv, ey_ref[...],
+                                     (((2,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            wx = jax.lax.dot_general(wxv, ex_ref[...],
+                                     (((2,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            zw = z * (wy * wx)
+            out_ref[...] = jax.lax.dot_general(
+                zw, ch_ref[...], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+        gspec = []
+        for i in range(m):
+            gspec.append(pl.BlockSpec((GB, KB, csp),
+                                      lambda t, ref, i=i: (t % nr8, ref[t] + i, 0)))
+        persamp = pl.BlockSpec((GB, sblk), lambda t, ref: (t, 0))
+
+        call = pl.pallas_call(
+            kern_C,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_steps,),
+                in_specs=[
+                    pl.BlockSpec((GB, kw), lambda t, ref: (t, 0)),
+                    pl.BlockSpec((p1, csp), lambda t, ref: (0, 0)),
+                    pl.BlockSpec((p1, csp), lambda t, ref: (0, 0)),
+                    pl.BlockSpec((csp, c), lambda t, ref: (0, 0)),
+                    persamp, persamp, persamp, persamp,
+                    persamp, persamp, persamp,
+                    *gspec,
+                ],
+                out_specs=pl.BlockSpec((GB, sblk, c), lambda t, ref: (t, 0, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_flat, sblk, c), dt),
+            compiler_params=_win_compiler_params(),
+        )
+
+        def force(x):
+            return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+        @jax.jit
+        def run():
+            acc = 0.0
+            for i in range(REP):
+                acc = acc + call(w0b, slots_win, ey, ex, ch_onehot,
+                                 jnp.roll(pid, i, axis=-1), ly, wy0, wy1,
+                                 lx, wx0, wx1, *([gc] * m))
+            return acc
+        try:
+            t0 = time.perf_counter()
+            out = run(); force(out)
+            print(f"{label}: compile+run {time.perf_counter()-t0:.1f}s", flush=True)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter(); force(run()); ts.append(time.perf_counter()-t0)
+            print(f"{label}: {min(ts)/REP*1e3:7.2f} ms/call", flush=True)
+        except Exception as e:
+            print(f"{label}: FAIL {str(e)[-300:]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

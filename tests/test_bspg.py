@@ -206,3 +206,97 @@ def test_bspg_whole_image_render_matches(rng):
             np.asarray(out[lvl]["depth"]), np.asarray(ref[lvl]["depth"]),
             rtol=1e-4, atol=1e-4,
         )
+
+
+def _setup_win(rng, c=32, s=32, h=128, w=128, scale=2, p=6, block=(4, 4),
+               scene="orbit", b_take=64):
+    """Scene-driven fixture at shapes where windowed selection engages
+    (orbit cameras give long epipolar segments -> wide slot lists). Only
+    ``b_take`` raster-consecutive blocks are selected for the reference
+    computation to keep the CPU einsum affordable; the spec carries
+    plan_window_spans bounds (spec.kwin)."""
+    scene_fn = synthetic_scene if scene == "orbit" else llff_rig_scene
+    target_cam, _, src_cams, _, depth_range = scene_fn(
+        rng, n_src=4, h=h, w=w
+    )
+    hs, ws = (h - 1) // scale + 1, (w - 1) // scale + 1
+    images = rng.rand(4, hs, ws, c).astype(np.float32)
+
+    intr = target_cam[2:18].reshape(4, 4)
+    c2w = target_cam[18:34].reshape(4, 4)
+    rays_o, rays_d = get_rays(h, w, jnp.asarray(intr), jnp.asarray(c2w))
+    pts, z_vals = sample_along_camera_ray(
+        rays_o, rays_d, jnp.asarray(depth_range), s, det=True
+    )
+    bh, bw = block
+    ro_b, rd_b = _block_rays(np.asarray(rays_o), np.asarray(rays_d), h, w,
+                             bh, bw)
+    b = ro_b.shape[0]
+    groups, _ = bspg.plan_block_groups(
+        target_cam[None], src_cams, depth_range.reshape(-1), (hs, ws),
+        p=p, block=block,
+    )
+    spans = bspg.plan_window_spans(
+        target_cam[None], src_cams, depth_range.reshape(-1), (hs, ws),
+        p=p, block=block, n_samples=s, n_importance=0,
+    )
+    kwin = tuple(int(max(spans[list(v)])) for v, _ in groups)
+    spec = bspg.make_block_spec(groups, p, (hs, ws), (h, w), block=block,
+                                kwin=kwin)
+    cidx = np.array([0, bw - 1, (bh - 1) * bw, bh * bw - 1])
+    near, far = float(depth_range[0, 0]), float(depth_range[0, 1])
+    pa_c = ro_b[:, cidx] + rd_b[:, cidx] * near
+    pb_c = ro_b[:, cidx] + rd_b[:, cidx] * far
+    pa, pb = project_endpoints(jnp.asarray(pa_c.reshape(-1, 3)),
+                               jnp.asarray(pb_c.reshape(-1, 3)),
+                               jnp.asarray(src_cams))
+    v = src_cams.shape[0]
+    pa = pa.reshape(v, b, 4, 3)
+    pb = pb.reshape(v, b, 4, 3)
+    flat = pts.reshape(-1, 3)
+    px, py, _ = project_points_planes(flat, jnp.asarray(src_cams))
+    gx = 2.0 * px / (w - 1.0) - 1.0
+    gy = 2.0 * py / (h - 1.0) - 1.0
+    gxb = _to_blocks(gx, h, w, bh, bw, s)[:, :b_take]
+    gyb = _to_blocks(gy, h, w, bh, bw, s)[:, :b_take]
+
+    table = bspg.pack_patch_table(jnp.asarray(images), spec.p)
+    slots, starts = bspg.build_block_slots(
+        pa[:, :b_take], pb[:, :b_take], spec, return_starts=True)
+    g = bspg.gather_block_patches(table, slots, spec)
+    ref = bspg.select_block_samples(g, slots, gxb, gyb, spec, c)
+    return spec, g, slots, starts, gxb, gyb, ref, c
+
+
+@pytest.mark.parametrize("c", [3, 32])
+def test_bspg_windowed_select_matches_xla(rng, c):
+    """Windowed Pallas selection (scalar-prefetch slot windows, interpret
+    mode) == XLA full-width selection, with windows genuinely narrower than
+    the slot list."""
+    spec, g, slots, starts, gxb, gyb, ref, c = _setup_win(
+        rng, c=c, scale=1 if c == 3 else 2, p=8 if c == 3 else 6,
+        h=64 if c == 3 else 128, w=64 if c == 3 else 128,
+        s=64 if c == 3 else 32,
+        scene="rig" if c == 3 else "orbit")
+    dbg = []
+    # force windows narrower than the plan bound would pick at these small
+    # scenes (placement must stay exact regardless of width, as long as the
+    # width covers the realized spans; 24/32 slots cover these fixtures)
+    kw_override = 24 if c == 3 else 32
+    out = bspg.select_block_samples_win(g, slots, starts, gxb, gyb, spec, c,
+                                        kw_override=kw_override, debug=dbg)
+    assert any(kw < ks for kw, ks, _ in dbg), dbg
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bspg_windowed_plan_bound_matches(rng):
+    """Windows sized by the plan-time span bound (spec.kwin, no override)
+    select exactly — the bound covers every realized chunk span."""
+    spec, g, slots, starts, gxb, gyb, ref, c = _setup_win(rng, c=32)
+    assert spec.kwin is not None
+    dbg = []
+    out = bspg.select_block_samples_win(g, slots, starts, gxb, gyb, spec, c,
+                                        debug=dbg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
