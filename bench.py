@@ -244,14 +244,20 @@ def main():
     state, aux = step(state, target, src, jax.random.PRNGKey(2))
     log(f"attack step compile+first run: {time.perf_counter()-t0:.2f}s "
         f"loss={float(aux['loss']):.4f}")
-    t0 = time.perf_counter()
-    keys = jax.random.split(jax.random.PRNGKey(3), ATTACK_ITERS)
-    for i in range(ATTACK_ITERS):
-        state, aux = step(state, target, src, keys[i])
-    force(state["delta"])
-    attack_s = (time.perf_counter() - t0) / ATTACK_ITERS
+    # median of 3 timed batches: relay wall clocks swing +-15-20% run to run
+    batch_times = []
+    keys = jax.random.split(jax.random.PRNGKey(3), 3 * ATTACK_ITERS)
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(ATTACK_ITERS):
+            state, aux = step(state, target, src,
+                              keys[rep * ATTACK_ITERS + i])
+        force(state["delta"])
+        batch_times.append((time.perf_counter() - t0) / ATTACK_ITERS)
+    attack_s = sorted(batch_times)[1]
     attack_ips = 1.0 / attack_s
-    log(f"attack (per-iter dispatch): {attack_s*1e3:.1f} ms/iter -> "
+    log(f"attack (per-iter dispatch, median of 3x{ATTACK_ITERS}): "
+        f"{attack_s*1e3:.1f} ms/iter -> "
         f"{attack_ips:.2f} iters/s (1000-iter attack in {1000*attack_s:.0f}s)")
 
     # grouped scan: the engine's production path (one device execution per

@@ -210,22 +210,28 @@ def plan_block_groups(target_cams, src_cams, depth_range, hw_sample, p,
 def plan_window_spans(target_cams, src_cams, depth_range, hw_sample, p,
                       block=(8, 8), render_stride=1, n_samples=64,
                       n_importance=64, inv_uniform=False, ray_grid=3,
-                      group_rows=8, slack=4):
+                      group_rows=1, slack=3, channels=32):
     """Host planner: per-view upper bound on the L1 patch-cell span any
-    depth-major sample chunk of the windowed selector can realize.
+    depth-major chunk group of the windowed selector can realize.
 
-    A chunk covers ``ceil(sblk / n_rays)`` consecutive depth slices of one
-    block (+1 boundary slice; the fine pass's merged z-values have gaps
-    bounded by the coarse spacing, so the coarse grid bounds it too with one
-    extra slice). The kernels share one slot window across ``group_rows``
-    raster-consecutive blocks, so the span is taken over the union of their
-    walks. Rays are lattice-sampled per block (``ray_grid`` x ``ray_grid``
-    including the corners); interior-ray projections lie in the corner convex
-    hull, whose L1-distance max is attained at the vertices, and the min-side
-    hull/floor wobble is absorbed by ``slack`` extra cells.
+    A grid step covers ``GB * sblk / n_rays`` consecutive depth slices of ONE
+    block (the fine pass's merged z-values have gaps bounded by the coarse
+    spacing, so evaluating sliding windows two slices wider on the coarse
+    grid bounds it too). Rays are lattice-sampled per block (``ray_grid`` x
+    ``ray_grid`` including the corners); interior-ray projections lie in the
+    corner convex hull, whose L1-distance max is attained at the vertices,
+    and the min-side hull/floor wobble is absorbed by ``slack`` extra cells.
+    ``group_rows`` > 1 additionally unions the span over that many
+    raster-consecutive blocks (not used by the current kernels — measured to
+    widen windows 2-3x).
 
-    :return: spans [V] int64 (patch cells, slack included)
+    :param p: patch size, or an iterable of patch sizes — the projection work
+        is shared across sizes (cells are integer divisions of one projected
+        grid), which is what makes multi-size planning affordable
+    :param channels: table channel count (chunk length depends on it)
+    :return: spans [V] int64 for scalar ``p``; {p: spans} for an iterable
     """
+    ps = (p,) if np.isscalar(p) else tuple(p)
     target_cams = np.asarray(target_cams, np.float64).reshape(-1, 34)
     src_cams = np.asarray(src_cams, np.float64).reshape(-1, 34)
     near, far = float(depth_range[0]), float(depth_range[1])
@@ -234,14 +240,12 @@ def plan_window_spans(target_cams, src_cams, depth_range, hw_sample, p,
     bh, bw = block
     n_rays = bh * bw
 
-    # worst chunk window width, in coarse depth slices
-    widths = []
-    for c_class, s_lvl in ((3, n_samples), (3, n_samples + n_importance),
-                           (512, n_samples), (512, n_samples + n_importance)):
-        sblk = _window_sblk(n_rays * s_lvl, c_class)
-        if sblk:
-            widths.append(-(-sblk // n_rays) + 1)
-    window = (max(widths) if widths else n_samples) + 2
+    # sliding-window width in coarse depth slices (+2: fine-merge, boundary).
+    # A kernel grid step spans GB chunks of one block.
+    from nerfool_tpu.ops.bspg_kernel import GB
+    sblk = _window_sblk(n_rays * n_samples, channels) or n_rays
+    gs = GB * sblk
+    window = -(-gs // n_rays) + (0 if gs % n_rays == 0 else 1) + 2
 
     # actual sample depths (det): uniform in z or in 1/z
     steps = np.arange(n_samples, dtype=np.float64)
@@ -251,8 +255,9 @@ def plan_window_spans(target_cams, src_cams, depth_range, hw_sample, p,
     else:
         z_grid = near + steps * (far - near) / (n_samples - 1)
     t_grid = (z_grid - near) / (far - near)  # homogeneous lerp fractions
+    f32 = np.float32
 
-    spans = np.zeros(v, np.int64)
+    spans = {pp: np.zeros(v, np.int64) for pp in ps}
     for tcam in target_cams:
         h, w = int(tcam[0]), int(tcam[1])
         intr = tcam[2:18].reshape(4, 4)
@@ -275,6 +280,8 @@ def plan_window_spans(target_cams, src_cams, depth_range, hw_sample, p,
         # 4-corner subset of the lattice for the center-segment start cells
         cidx = np.array([0, ray_grid - 1, (ray_grid - 1) * ray_grid,
                          ray_grid * ray_grid - 1])
+        pad = (-nb) % group_rows
+        b8 = (nb + pad) // group_rows
 
         for vi, scam in enumerate(src_cams):
             hf, wf = scam[0], scam[1]
@@ -284,57 +291,64 @@ def plan_window_spans(target_cams, src_cams, depth_range, hw_sample, p,
                 scam[18:34].reshape(4, 4))
             pa = (proj[:3, :3] @ (o + dirs * near) + proj[:3, 3:4])  # [3,B*L]
             pb = (proj[:3, :3] @ (o + dirs * far) + proj[:3, 3:4])
-            ph = (pa[:, :, None]
-                  + t_grid[None, None, :] * (pb - pa)[:, :, None])  # [3,BL,S]
-            z = np.clip(ph[2], EPS_Z, None)
-            ok = ph[2] > EPS_Z
-            scl = np.array([sx, sy]).reshape(2, 1, 1)
-            q = np.where(ok, ph[:2] / z, np.inf) * scl              # [2,BL,S]
+            ph2 = (pa[2][:, None]
+                   + t_grid[None, :].astype(f32) * (pb - pa)[2][:, None])
+            ok = ph2 > EPS_Z
+            z = np.clip(ph2, EPS_Z, None)
+            scl = np.array([sx, sy], f32).reshape(2, 1, 1)
+            q = np.empty((2, nb * nl, n_samples), f32)
+            for ax in range(2):
+                ph_ax = (pa[ax][:, None] + t_grid[None, :].astype(f32)
+                         * (pb - pa)[ax][:, None])
+                q[ax] = np.where(ok, ph_ax / z, np.inf)
+            q *= scl
             # relevance: any lattice ray inside the base rect at this z
             in_rect = (ok & (q[0] >= -1.0) & (q[0] <= w_s)
                        & (q[1] >= -1.0) & (q[1] <= h_s))
             rel = in_rect.reshape(nb, nl, n_samples).any(axis=1)    # [B, S]
-            # clamped walk-space cells (the clip rect is grid + p margin)
-            qc = np.clip(q, [[[-1.0 - p]], [[-1.0 - p]]],
-                         [[[w_s + p]], [[h_s + p]]])
-            cell = ((np.floor(qc).astype(np.int64) + 1) // p)       # [2,BL,S]
-            # start cells from the clipped center segment (corner means)
-            pa4 = pa.reshape(3, nb, nl)[:, :, cidx]
-            pb4 = pb.reshape(3, nb, nl)[:, :, cidx]
-            qa, _ = _clip_segment_np(pa4.mean(axis=2), pb4.mean(axis=2),
-                                     w_s, h_s, sx, sy, margin=p)
-            start = (np.floor(qa).astype(np.int64) + 1) // p        # [2, B]
-            d = (np.abs(cell[0].reshape(nb, nl, -1) - start[0][:, None, None])
-                 + np.abs(cell[1].reshape(nb, nl, -1)
-                          - start[1][:, None, None]))               # [B,L,S]
-            d = np.where(rel[:, None, :], d, -1)
-            # union over lattice rays and group_rows raster-consecutive blocks
-            pad = (-nb) % group_rows
             if pad:
-                d = np.concatenate([d, np.full((pad, nl, n_samples), -1,
-                                               np.int64)], axis=0)
                 rel = np.concatenate(
                     [rel, np.zeros((pad, n_samples), bool)], axis=0)
-            b8 = d.shape[0] // group_rows
-            d8 = d.reshape(b8, group_rows, nl, n_samples)
             rel8 = rel.reshape(b8, group_rows, n_samples)[:, :, None, :]
-            rel8 = np.broadcast_to(rel8, d8.shape)
-            big = 1 << 30
-            dmax = d8.max(axis=(1, 2))                              # [b8, S]
-            dmin = np.where(rel8, d8, big).min(axis=(1, 2))
-            # sliding chunk windows over the sample axis
-            span_v = 0
-            for s0 in range(0, n_samples - 1):
-                s1 = min(n_samples, s0 + window)
-                wmax = dmax[:, s0:s1].max(axis=1)
-                wmin = dmin[:, s0:s1].min(axis=1)
-                valid = wmax >= 0
-                if valid.any():
-                    span_v = max(span_v, int(
-                        (wmax[valid] - np.minimum(wmin[valid], wmax[valid]))
-                        .max()))
-            spans[vi] = max(spans[vi], span_v + slack)
-    return spans
+            pa4 = pa.reshape(3, nb, nl)[:, :, cidx]
+            pb4 = pb.reshape(3, nb, nl)[:, :, cidx]
+
+            for pp in ps:
+                # clamped walk-space cells (clip rect is grid + p margin)
+                qc = np.clip(q, [[[-1.0 - pp]], [[-1.0 - pp]]],
+                             [[[w_s + pp]], [[h_s + pp]]])
+                cell = ((np.floor(qc).astype(np.int32) + 1) // pp)  # [2,BL,S]
+                # start cells from the clipped center segment (corner means)
+                qa, _ = _clip_segment_np(pa4.mean(axis=2), pb4.mean(axis=2),
+                                         w_s, h_s, sx, sy, margin=pp)
+                start = (np.floor(qa).astype(np.int32) + 1) // pp   # [2, B]
+                d = (np.abs(cell[0].reshape(nb, nl, -1)
+                            - start[0][:, None, None])
+                     + np.abs(cell[1].reshape(nb, nl, -1)
+                              - start[1][:, None, None]))           # [B,L,S]
+                d = np.where(rel[:nb, None, :], d, -1)
+                if pad:
+                    d = np.concatenate(
+                        [d, np.full((pad, nl, n_samples), -1, np.int32)],
+                        axis=0)
+                d8 = d.reshape(b8, group_rows, nl, n_samples)
+                big = 1 << 30
+                dmax = d8.max(axis=(1, 2))                          # [b8, S]
+                dmin = np.where(np.broadcast_to(rel8, d8.shape), d8,
+                                big).min(axis=(1, 2))
+                # sliding chunk windows over the sample axis
+                span_v = 0
+                for s0 in range(0, n_samples - 1):
+                    s1 = min(n_samples, s0 + window)
+                    wmax = dmax[:, s0:s1].max(axis=1)
+                    wmin = dmin[:, s0:s1].min(axis=1)
+                    valid = wmax >= 0
+                    if valid.any():
+                        span_v = max(span_v, int(
+                            (wmax[valid]
+                             - np.minimum(wmin[valid], wmax[valid])).max()))
+                spans[pp][vi] = max(spans[pp][vi], span_v + slack)
+    return spans[ps[0]] if np.isscalar(p) else spans
 
 
 def make_block_spec(groups, p, hw_sample, hw_full, block=(8, 8), kwin=None):
@@ -540,9 +554,8 @@ def plan_render_specs(target_cams, src_cams, depth_range, rgb_hw, feat_hw,
     """
     from nerfool_tpu.ops.bspg_kernel import KB
 
-    def pick(hw_sample, ps):
-        best = None
-        best_cost = None
+    def pick(hw_sample, ps, channels):
+        groups_by_p = {}
         for p in ps:
             try:
                 groups, _ = plan_block_groups(
@@ -554,22 +567,33 @@ def plan_render_specs(target_cams, src_cams, depth_range, rgb_hw, feat_hw,
             worst = max(9 + 3 * (k - 1) for _, k in groups)
             if max_slots is not None and worst > max_slots:
                 continue
+            groups_by_p[p] = groups
+        if not groups_by_p:
+            return None
+        spans_by_p = {}
+        if windows:
+            spans_by_p = plan_window_spans(
+                target_cams, src_cams, depth_range, hw_sample,
+                tuple(groups_by_p), block=block,
+                render_stride=render_stride, n_samples=n_samples,
+                n_importance=n_importance, inv_uniform=inv_uniform,
+                channels=channels,
+            )
+        best = None
+        best_cost = None
+        for p, groups in groups_by_p.items():
             kwin = None
             if windows:
-                spans = plan_window_spans(
-                    target_cams, src_cams, depth_range, hw_sample, p,
-                    block=block, render_stride=render_stride,
-                    n_samples=n_samples, n_importance=n_importance,
-                    inv_uniform=inv_uniform,
-                )
+                spans = spans_by_p[p]
                 kwin = tuple(int(max(spans[list(v)])) for v, _ in groups)
+
             # per-sample selection work scales with the contracted one-hot
             # width (windowed where available) x (p+1)^2
             def width(gi, k):
                 ks_pad = -(-(9 + 3 * (k - 1)) // KB) * KB
                 if kwin is None:
                     return ks_pad
-                return min(ks_pad, -(-(3 * kwin[gi] + 27) // KB) * KB)
+                return min(ks_pad, -(-(3 * kwin[gi] + 18) // KB) * KB)
             cost = sum(len(v) * width(gi, k) * (p + 1) ** 2
                        for gi, (v, k) in enumerate(groups))
             if best_cost is None or cost < best_cost:
@@ -582,10 +606,10 @@ def plan_render_specs(target_cams, src_cams, depth_range, rgb_hw, feat_hw,
         return best
 
     target_cams = np.asarray(target_cams, np.float64)
-    spec_f = pick(feat_hw, feat_ps)
+    spec_f = pick(feat_hw, feat_ps, 32)
     if spec_f is None:
         return None
-    spec_r = pick(rgb_hw, rgb_ps)
+    spec_r = pick(rgb_hw, rgb_ps, 3)
     if spec_r is None:
         return None
     return spec_f, spec_r
@@ -593,8 +617,12 @@ def plan_render_specs(target_cams, src_cams, depth_range, rgb_hw, feat_hw,
 
 def _window_sblk(ns, c):
     """Sample-chunk length for windowed selection (multiple of 128 dividing
-    ns; narrow-channel stage-2 temporaries allow longer chunks)."""
-    sblk = 512 if c <= 8 else 256
+    ns). Short chunks narrow the depth range per chunk and therefore the slot
+    windows; measured per-call cost is flat in sblk for both kernels, so the
+    narrowest lane-width chunk wins for the wide-channel (feat) kernel whose
+    cost scales with window width. The narrow-channel kernel is
+    width-insensitive — longer chunks keep its grid small."""
+    sblk = 512 if c <= 8 else 128
     while ns % sblk and sblk > 128:
         sblk //= 2
     return sblk if ns % sblk == 0 else 0
@@ -602,7 +630,7 @@ def _window_sblk(ns, c):
 
 def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
                              spec: BSPGSpec, c, kw_override=None,
-                             debug=None):
+                             sblk_override=None, debug=None):
     """Windowed Pallas selection: depth-major sample chunks only compare/
     contract against the Kw-slot window of the walk their depth range can
     touch (slot position ~ 3 * L1 cell distance from the walk start + the
@@ -641,20 +669,21 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
         vg = len(views)
         ks = spec.k_slots(k_path)
         n_rv = vg * b
-        sblk = _window_sblk(ns, c)
+        sblk = sblk_override or _window_sblk(ns, c)
         ks_pad = -(-ks // KB) * KB
         if kw_override is not None:
             kw = min(kw_override, ks_pad)
         elif spec.kwin is not None and sblk:
             # window must cover [lo, hi] of any realizable chunk:
-            # hi - lo <= 3 * span + 27 (see the w0 placement below)
-            kw = min(ks_pad, -(-(3 * spec.kwin[gi] + 27) // KB) * KB)
+            # hi - lo <= 3 * span + 18 (see the w0 placement below)
+            kw = min(ks_pad, -(-(3 * spec.kwin[gi] + 18) // KB) * KB)
         else:
             kw = ks_pad
         if debug is not None:
             debug.append((kw, ks_pad, sblk))
 
-        if kw >= ks_pad or n_rv % GB or not sblk:
+        nsb = ns // sblk if sblk else 0
+        if kw >= ks_pad or not sblk or nsb % GB:
             # no window benefit: full-width kernels on ray-major ingredients
             ixg = ix[vi].reshape(vg, b, ns)
             iyg = iy[vi].reshape(vg, b, ns)
@@ -667,15 +696,19 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
             outs.append(out.reshape(vg, b, n, s, c))
             continue
 
-        # depth-major ingredients: chunk = contiguous depth range per block
+        # depth-major ingredients: chunk = contiguous depth range per block.
+        # Rows stay BLOCK-major (row j = rv * nsb + chunk): a kernel grid
+        # step's GB rows are GB consecutive chunks of ONE block, so the
+        # shared slot window only has to cover one block's walk over
+        # GB * sblk samples — no cross-block union (raster-adjacent walks
+        # are phase-shifted and would widen the window 2-3x).
         ixg = ix[vi].transpose(0, 1, 3, 2).reshape(vg, b, ns)
         iyg = iy[vi].transpose(0, 1, 3, 2).reshape(vg, b, ns)
         ing = _sample_ingredients(ixg, iyg, spec.as_spg(), dt)
-        nsb = ns // sblk
-        nr8 = n_rv // GB
+        npg = nsb // GB                    # chunk groups (grid steps) per row
         n_flat = nsb * n_rv
 
-        # per-chunk windows from the L1-distance invariant
+        # per-chunk-group windows from the L1-distance invariant
         pid = ing["pid"].reshape(n_rv, ns)
         pbx = pid % spec.pbx
         pby = pid // spec.pbx
@@ -684,44 +717,47 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
         pos = jnp.abs(pbx - px0f) + jnp.abs(pby - py0f)
         rel = (((ing["vy0"] + ing["vy1"]) > 0.5)
                & ((ing["vx0"] + ing["vx1"]) > 0.5)).reshape(n_rv, ns)
-        pos2 = pos.reshape(nr8, GB, nsb, sblk)
-        rel2 = rel.reshape(nr8, GB, nsb, sblk)
+        pos2 = pos.reshape(n_rv, npg, GB * sblk)
+        rel2 = rel.reshape(n_rv, npg, GB * sblk)
         big = jnp.int32(1 << 30)
-        pmin = jnp.min(jnp.where(rel2, pos2, big), axis=(1, 3))   # [nr8, nsb]
-        pmax = jnp.max(jnp.where(rel2, pos2, -1), axis=(1, 3))
-        lo = jnp.where(pmin <= 3, 0, 3 * pmin - 3)
-        hi = 3 * pmax + 18
+        pmin = jnp.min(jnp.where(rel2, pos2, big), axis=-1)       # [n_rv,npg]
+        pmax = jnp.max(jnp.where(rel2, pos2, -1), axis=-1)
+        # the triple at crossing rank r (slots 3r+6..3r+8) covers cells at L1
+        # distance r..r+2 from the walk start (its lead cell is one ahead of
+        # the post-crossing cell), so a cell at distance d >= 3 occupies a
+        # slot in [3d, 3d+8]; d <= 2 may also sit in the 9-slot init ring.
+        # [lo, hi) below covers every realizable match, and
+        # hi - lo <= 3*(pmax - pmin) + 15 <= the kw bound of 3*span + 18.
+        lo = jnp.where(pmin <= 2, 0, 3 * pmin)
+        hi = 3 * pmax + 9
         w0 = jnp.where(hi - lo <= kw, lo, (lo + hi - kw) // 2)
         w0 = jnp.clip(w0, 0, ks_pad - kw)
-        w0b = (w0 // KB).astype(jnp.int32)                         # [nr8, nsb]
-        w0b_flat = w0b.T.reshape(-1)                               # chunk-major
+        w0b = (w0 // KB).astype(jnp.int32)                        # [n_rv,npg]
+        w0b_flat = w0b.reshape(-1)                                # step order
 
-        # windowed slot values
+        # windowed slot values (per chunk group, replicated per chunk row)
         slots2 = slots.reshape(n_rv, ks)
         slots2 = jnp.pad(slots2, ((0, 0), (0, ks_pad - ks)),
                          constant_values=-1)
-        w0_row = jnp.broadcast_to((w0b * KB)[:, None, :], (nr8, GB, nsb)
-                                  ).reshape(n_rv, nsb)
-        idx = w0_row[..., None] + jnp.arange(kw)[None, None]       # [n_rv,nsb,kw]
+        idx = (w0b * KB)[..., None] + jnp.arange(kw)[None, None]  # [n_rv,npg,kw]
         wslots = jnp.take_along_axis(
-            jnp.broadcast_to(slots2[:, None, :], (n_rv, nsb, ks_pad)),
+            jnp.broadcast_to(slots2[:, None, :], (n_rv, npg, ks_pad)),
             idx, axis=2,
-        )
+        )                                                          # [n_rv,npg,kw]
 
-        def cm(x):  # [n_rv, ns] -> chunk-major [n_flat, sblk]
-            return (x.reshape(n_rv, nsb, sblk).transpose(1, 0, 2)
-                    .reshape(n_flat, sblk))
+        def rows(x):  # [n_rv, ns] -> [n_flat, sblk] (block-major rows)
+            return x.reshape(n_flat, sblk)
 
         f32 = jnp.float32
-        pid_cm = cm(pid)
-        ly_cm = cm(ing["ly"].reshape(n_rv, ns))
-        lx_cm = cm(ing["lx"].reshape(n_rv, ns))
+        pid_r = rows(pid)
+        ly_r = rows(ing["ly"].reshape(n_rv, ns))
+        lx_r = rows(ing["lx"].reshape(n_rv, ns))
         fy = ing["fy"].reshape(n_rv, ns)
         fx = ing["fx"].reshape(n_rv, ns)
-        wy0 = cm(((1.0 - fy) * ing["vy0"].reshape(n_rv, ns)).astype(f32))
-        wy1 = cm((fy * ing["vy1"].reshape(n_rv, ns)).astype(f32))
-        wx0 = cm(((1.0 - fx) * ing["vx0"].reshape(n_rv, ns)).astype(f32))
-        wx1 = cm((fx * ing["vx1"].reshape(n_rv, ns)).astype(f32))
+        wy0 = rows(((1.0 - fy) * ing["vy0"].reshape(n_rv, ns)).astype(f32))
+        wy1 = rows((fy * ing["vy1"].reshape(n_rv, ns)).astype(f32))
+        wx0 = rows(((1.0 - fx) * ing["vx0"].reshape(n_rv, ns)).astype(f32))
+        wx1 = rows((fx * ing["vx1"].reshape(n_rv, ns)).astype(f32))
 
         if c <= 8:
             csp = c * sp
@@ -734,9 +770,11 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
             dx_lane = jnp.asarray(off % p1, jnp.int32)[None]
             ch_onehot = jnp.asarray(
                 (j // sp)[:, None] == np.arange(c)[None, :], f32)
-            wslots_cm = wslots.transpose(1, 0, 2).reshape(n_flat, kw)
+            wslots_r = jnp.broadcast_to(
+                wslots[:, :, None], (n_rv, npg, GB, kw)
+            ).reshape(n_flat, kw)
             out = select_win_smallc(
-                gc, wslots_cm, w0b_flat, pid_cm, ly_cm, wy0, wy1, lx_cm,
+                gc, wslots_r, w0b_flat, pid_r, ly_r, wy0, wy1, lx_r,
                 wx0, wx1, dy_lane, dx_lane, ch_onehot,
                 n_rv=n_rv, kw=kw, sp=sp, c=c, sblk=sblk, out_dtype=dt,
             )
@@ -745,19 +783,20 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
             gf = g.reshape(n_rv, ks, sp * c)
             gf = jnp.pad(gf, ((0, 0), (0, ks_pad - ks), (0, 0)))
             gf = gf.reshape(n_rv, ks_pad * sp, c)  # free: row-major no-op
-            srep = jnp.repeat(wslots, sp, axis=-1)
-            srep_cm = srep.transpose(1, 0, 2).reshape(n_flat, w_lanes)
+            srep = jnp.repeat(wslots, sp, axis=-1)  # [n_rv, npg, kw*sp]
+            srep_r = jnp.broadcast_to(
+                srep[:, :, None], (n_rv, npg, GB, w_lanes)
+            ).reshape(n_flat, w_lanes)
             j = np.arange(w_lanes)
             dy_lane = jnp.asarray((j // p1) % p1, jnp.int32)[None]
             dx_lane = jnp.asarray(j % p1, jnp.int32)[None]
             out = select_win_fused(
-                gf, srep_cm, w0b_flat, pid_cm, ly_cm, wy0, wy1, lx_cm,
+                gf, srep_r, w0b_flat, pid_r, ly_r, wy0, wy1, lx_r,
                 wx0, wx1, dy_lane, dx_lane,
                 n_rv=n_rv, kw=kw, sp=sp, c=c, sblk=sblk, out_dtype=dt,
             )
 
-        out = (out.reshape(nsb, n_rv, sblk, c).transpose(1, 0, 2, 3)
-               .reshape(vg, b, s, n, c).transpose(0, 1, 3, 2, 4))
+        out = (out.reshape(vg, b, s, n, c).transpose(0, 1, 3, 2, 4))
         outs.append(out)
 
     out = jnp.concatenate(outs, axis=0)

@@ -250,16 +250,20 @@ def _select_smallc_kernel(slots_ref, dy_lane_ref, dx_lane_ref, ch_ref,
 
 
 # ---------------------------------------------------------------------------
-# Windowed selection (slot windows per (row-group, depth-chunk))
+# Windowed selection (slot windows per (block, depth-chunk-group))
 #
 # Samples arrive DEPTH-MAJOR per block, so a contiguous sample chunk spans a
 # narrow depth range whose epipolar footprint touches only a narrow window of
 # the walk's slot sequence (slot position ~ 3 * L1 cell distance from the
-# walk start + the 9-slot init ring). The XLA side computes a per
-# (GB-row-group, chunk) window start w0b (units of KB slots); the kernels DMA
-# only the m = Kw/KB window blocks of the patch table via scalar-prefetch
-# index maps — the one-hot width shrinks from Ks*(p+1)^2 to Kw*(p+1)^2
-# without any HBM duplication of patch rows.
+# walk start + the 9-slot init ring). Rows stay block-major: a grid step's GB
+# rows are GB consecutive chunks of ONE block, so one window covers one
+# block's walk over GB*sblk samples (sharing a window across raster-adjacent
+# blocks was measured to widen it 2-3x — their walks are phase-shifted). The
+# XLA side computes a per-step window start w0b (units of KB slots); the
+# kernels DMA only the m = Kw/KB window blocks of that block's patch rows via
+# scalar-prefetch index maps — the one-hot width shrinks from Ks*(p+1)^2 to
+# Kw*(p+1)^2 without any HBM duplication of patch rows, and the single-block
+# window turns the selection matmul into one unbatched [GB*sblk, W] @ [W, c].
 # ---------------------------------------------------------------------------
 
 KB = 8  # slot-window granularity (slots per prefetch block)
@@ -279,17 +283,18 @@ def select_win_fused(g_fused, slots_rep_win, w0b, pid, ly, wy0, wy1,
     :param g_fused: [n_rv, ks_pad*sp, c] patch rows on the fused
         (slot, dy, dx) axis (a free XLA reshape of [n_rv, ks_pad, sp*c])
     :param slots_rep_win: [n_flat, kw*sp] windowed slot ids repeated over sp
-        (chunk-major flat: row j = chunk * n_rv + rv)
+        (block-major flat: row j = rv * nsb + chunk)
     :param w0b: [n_steps] int32 window block starts (units of KB slots),
-        chunk-major per GB-row grid step
-    :param pid..wx1: [n_flat, sblk] per-sample ingredients (chunk-major flat)
+        one per GB-chunk grid step
+    :param pid..wx1: [n_flat, sblk] per-sample ingredients (block-major flat)
     :return: [n_flat, sblk, c] out_dtype
     """
     n_flat = pid.shape[0]
     w = kw * sp
     m = kw // KB
-    assert kw % KB == 0 and n_rv % GB == 0 and n_flat % n_rv == 0
-    nr8 = n_rv // GB
+    nsb = n_flat // n_rv
+    assert kw % KB == 0 and nsb % GB == 0 and n_flat % n_rv == 0
+    npg = nsb // GB
     n_steps = n_flat // GB
     grid = (n_steps,)
     from jax.experimental.pallas import tpu as pltpu
@@ -297,8 +302,8 @@ def select_win_fused(g_fused, slots_rep_win, w0b, pid, ly, wy0, wy1,
     gspec = []
     for j in range(m):
         gspec.append(pl.BlockSpec(
-            (GB, KB * sp, c),
-            lambda i, ref, j=j: (i % nr8, ref[i] + j, 0),
+            (1, KB * sp, c),
+            lambda i, ref, j=j: (i // npg, ref[i] + j, 0),
         ))
     persamp = pl.BlockSpec((GB, sblk), lambda i, ref: (i, 0))
     const = pl.BlockSpec((1, w), lambda i, ref: (0, 0))
@@ -330,7 +335,8 @@ def _select_win_fused_kernel(w0b_ref, slots_rep_ref, dy_lane_ref, dx_lane_ref,
                              lx_ref, wx0_ref, wx1_ref, *rest, m):
     g_refs, out_ref = rest[:m], rest[m]
     gwin = jnp.concatenate([g_refs[j][...] for j in range(m)], axis=1)
-    dt = gwin.dtype             # [GB, Kw*sp, c]
+    dt = gwin.dtype             # [1, Kw*sp, c] (one block's window)
+    gb, sblk = pid_ref.shape
     pid = pid_ref[...]          # [GB, S]
     ly = ly_ref[...]
     lx = lx_ref[...]
@@ -346,11 +352,12 @@ def _select_win_fused_kernel(w0b_ref, slots_rep_ref, dy_lane_ref, dx_lane_ref,
                    jnp.where(dxl[None, None, :] == lx[:, :, None] + 1,
                              wx1_ref[...][:, :, None], 0.0))
     w = jnp.where(eq, wy * wx, 0.0).astype(dt)
+    w2 = w.reshape(gb * sblk, w.shape[-1])      # major-dim merge: no-op
     out = jax.lax.dot_general(
-        w, gwin, (((2,), (1,)), ((0,), (0,))),
+        w2, gwin[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    out_ref[...] = out.astype(out_ref.dtype)
+    out_ref[...] = out.reshape(gb, sblk, -1).astype(out_ref.dtype)
 
 
 def select_win_smallc(g, slots_win, w0b, pid, ly, wy0, wy1, lx, wx0, wx1,
@@ -359,21 +366,22 @@ def select_win_smallc(g, slots_win, w0b, pid, ly, wy0, wy1, lx, wx0, wx1,
     """Windowed two-stage selection (narrow-channel tables, e.g. rgb).
 
     :param g: [n_rv, ks_pad, c*sp] channel-major patch rows
-    :param slots_win: [n_flat, kw] windowed slot ids (chunk-major flat)
+    :param slots_win: [n_flat, kw] windowed slot ids (block-major flat)
     """
     n_flat = pid.shape[0]
     csp = c * sp
     m = kw // KB
-    assert kw % KB == 0 and n_rv % GB == 0
-    nr8 = n_rv // GB
+    nsb = n_flat // n_rv
+    assert kw % KB == 0 and nsb % GB == 0
+    npg = nsb // GB
     n_steps = n_flat // GB
     from jax.experimental.pallas import tpu as pltpu
 
     gspec = []
     for j in range(m):
         gspec.append(pl.BlockSpec(
-            (GB, KB, csp),
-            lambda i, ref, j=j: (i % nr8, ref[i] + j, 0),
+            (1, KB, csp),
+            lambda i, ref, j=j: (i // npg, ref[i] + j, 0),
         ))
     persamp = pl.BlockSpec((GB, sblk), lambda i, ref: (i, 0))
     const = pl.BlockSpec((1, csp), lambda i, ref: (0, 0))
@@ -406,14 +414,16 @@ def _select_win_smallc_kernel(w0b_ref, slots_ref, dy_lane_ref, dx_lane_ref,
                               lx_ref, wx0_ref, wx1_ref, *rest, m):
     g_refs, out_ref = rest[:m], rest[m]
     gwin = jnp.concatenate([g_refs[j][...] for j in range(m)], axis=1)
-    dt = gwin.dtype
+    dt = gwin.dtype             # [1, Kw, c*sp]
+    gb, sblk = pid_ref.shape
     pid = pid_ref[...]          # [GB, S]
     swin = slots_ref[...]       # [GB, Kw]
     eq = (pid[:, :, None] == swin[:, None, :]).astype(dt)          # [GB,S,Kw]
+    eq2 = eq.reshape(gb * sblk, eq.shape[-1])   # major-dim merge: no-op
     z = jax.lax.dot_general(
-        eq, gwin, (((2,), (1,)), ((0,), (0,))),
+        eq2, gwin[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                              # [GB,S,c*sp]
+    ).reshape(gb, sblk, -1)                                        # [GB,S,c*sp]
 
     dyl = dy_lane_ref[0]        # [c*sp]
     dxl = dx_lane_ref[0]

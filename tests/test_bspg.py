@@ -208,7 +208,7 @@ def test_bspg_whole_image_render_matches(rng):
         )
 
 
-def _setup_win(rng, c=32, s=32, h=128, w=128, scale=2, p=6, block=(4, 4),
+def _setup_win(rng, c=32, s=64, h=128, w=128, scale=2, p=6, block=(4, 4),
                scene="orbit", b_take=64):
     """Scene-driven fixture at shapes where windowed selection engages
     (orbit cameras give long epipolar segments -> wide slot lists). Only
@@ -268,33 +268,71 @@ def _setup_win(rng, c=32, s=32, h=128, w=128, scale=2, p=6, block=(4, 4),
     return spec, g, slots, starts, gxb, gyb, ref, c
 
 
+def _realized_spans(spec, starts, gxb, gyb, sblk):
+    """Realized L1 patch-cell span per (group, GB-chunk grid step), mirroring
+    the selector's window computation in numpy."""
+    from nerfool_tpu.ops.bspg_kernel import GB
+    from nerfool_tpu.ops.spg import _sample_ingredients
+
+    v, b, n, s = gxb.shape
+    ns = n * s
+    ix = (np.asarray(gxb) + 1.0) * 0.5 * (spec.w - 1)
+    iy = (np.asarray(gyb) + 1.0) * 0.5 * (spec.h - 1)
+    spans = []
+    for (views, k_path), (px0, py0) in zip(spec.groups, starts):
+        vi = list(views)
+        vg = len(vi)
+        ixg = ix[vi].transpose(0, 1, 3, 2).reshape(vg, b, ns)
+        iyg = iy[vi].transpose(0, 1, 3, 2).reshape(vg, b, ns)
+        ing = jax.tree.map(np.asarray, _sample_ingredients(
+            jnp.asarray(ixg), jnp.asarray(iyg), spec.as_spg(), jnp.float32))
+        n_rv = vg * b
+        pid = ing["pid"].reshape(n_rv, ns)
+        pos = (np.abs(pid % spec.pbx - np.asarray(px0).reshape(n_rv)[:, None])
+               + np.abs(pid // spec.pbx
+                        - np.asarray(py0).reshape(n_rv)[:, None]))
+        rel = (((ing["vy0"] + ing["vy1"]) > 0.5)
+               & ((ing["vx0"] + ing["vx1"]) > 0.5)).reshape(n_rv, ns)
+        npg = ns // sblk // GB
+        pos2 = pos.reshape(n_rv, npg, GB * sblk)
+        rel2 = rel.reshape(n_rv, npg, GB * sblk)
+        big = 1 << 30
+        pmin = np.where(rel2, pos2, big).min(axis=-1)
+        pmax = np.where(rel2, pos2, -1).max(axis=-1)
+        ok = pmax >= 0
+        spans.append(int(np.where(ok, pmax - np.minimum(pmin, pmax), 0).max()))
+    return spans
+
+
 @pytest.mark.parametrize("c", [3, 32])
 def test_bspg_windowed_select_matches_xla(rng, c):
     """Windowed Pallas selection (scalar-prefetch slot windows, interpret
     mode) == XLA full-width selection, with windows genuinely narrower than
-    the slot list."""
-    spec, g, slots, starts, gxb, gyb, ref, c = _setup_win(
-        rng, c=c, scale=1 if c == 3 else 2, p=8 if c == 3 else 6,
-        h=64 if c == 3 else 128, w=64 if c == 3 else 128,
-        s=64 if c == 3 else 32,
-        scene="rig" if c == 3 else "orbit")
+    the slot list. Window widths come from the measured realized spans, so
+    the placement math (not margin slack) is what's exercised."""
+    spec, g, slots, starts, gxb, gyb, ref, c = _setup_win(rng, c=c)
+    sblk = 64 if c == 3 else 128  # c=3 needs short chunks on this fixture
+    spans = _realized_spans(spec, starts, gxb, gyb, sblk)
+    from nerfool_tpu.ops.bspg_kernel import KB
+    kw = max(-(-(3 * sp_ + 18) // KB) * KB for sp_ in spans)
     dbg = []
-    # force windows narrower than the plan bound would pick at these small
-    # scenes (placement must stay exact regardless of width, as long as the
-    # width covers the realized spans; 24/32 slots cover these fixtures)
-    kw_override = 24 if c == 3 else 32
     out = bspg.select_block_samples_win(g, slots, starts, gxb, gyb, spec, c,
-                                        kw_override=kw_override, debug=dbg)
-    assert any(kw < ks for kw, ks, _ in dbg), dbg
+                                        kw_override=kw, sblk_override=sblk,
+                                        debug=dbg)
+    assert any(kw_ < ks for kw_, ks, _ in dbg), (dbg, spans)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
 
 
 def test_bspg_windowed_plan_bound_matches(rng):
     """Windows sized by the plan-time span bound (spec.kwin, no override)
-    select exactly — the bound covers every realized chunk span."""
+    select exactly, and the plan bound dominates the realized spans."""
     spec, g, slots, starts, gxb, gyb, ref, c = _setup_win(rng, c=32)
     assert spec.kwin is not None
+    from nerfool_tpu.ops.bspg import _window_sblk
+    spans = _realized_spans(spec, starts, gxb, gyb,
+                            _window_sblk(gxb.shape[2] * gxb.shape[3], c))
+    assert all(k >= s_ for k, s_ in zip(spec.kwin, spans)), (spec.kwin, spans)
     dbg = []
     out = bspg.select_block_samples_win(g, slots, starts, gxb, gyb, spec, c,
                                         debug=dbg)

@@ -8,6 +8,8 @@ import pytest
 
 from nerfool_tpu.config import config_parser
 
+pytestmark = pytest.mark.slow  # end-to-end evaluator drives (~9 min total)
+
 
 def _engine_args(tmp_path, **overrides):
     argv = [

@@ -4,6 +4,7 @@ weights — the protocol, not the pretrained values, is what's under test)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -126,3 +127,37 @@ def test_lpips_weight_roundtrip(tmp_path, rng):
     v1 = model.apply({"params": params}, a, a * 0.5)
     v2 = model.apply({"params": loaded}, a, a * 0.5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_lpips_matches_pip_package(rng):
+    """Numerical parity vs the pip ``lpips`` package (the GNT reference
+    metric, /root/reference/eval/gnt/utils.py:286-297). Skips where the
+    package (and its downloaded VGG weights) is unavailable — zero-egress
+    environments cannot fetch them."""
+    lpips_pkg = pytest.importorskip("lpips")
+    from nerfool_tpu.metrics.lpips import convert_lpips_torch_state
+
+    net = lpips_pkg.LPIPS(net="vgg", verbose=False)
+    sd = net.state_dict()
+    feats_sd = {}
+    lins_sd = {}
+    for k, v in sd.items():
+        if k.startswith("net.slice"):
+            # pip-lpips wraps torchvision vgg16.features layers in slice
+            # modules but keeps the original layer indices: net.slice1.0.*
+            # -> features '0.*'
+            parts = k.split(".")
+            feats_sd[".".join(parts[2:])] = v
+        elif k.startswith("lin"):
+            lins_sd[k] = v
+    params = convert_lpips_torch_state(feats_sd, lins_sd)
+
+    a = rng.rand(1, 64, 64, 3).astype(np.float32)
+    b = rng.rand(1, 64, 64, 3).astype(np.float32)
+    ours = float(LPIPS().apply({"params": params}, jnp.asarray(a),
+                               jnp.asarray(b))[0])
+    with torch.no_grad():
+        ref = float(net(torch.from_numpy(a).permute(0, 3, 1, 2),
+                        torch.from_numpy(b).permute(0, 3, 1, 2),
+                        normalize=True).item())
+    assert abs(ours - ref) < 1e-4

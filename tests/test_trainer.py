@@ -11,6 +11,8 @@ from nerfool_tpu.models.bundle import create_model
 from nerfool_tpu.render.render_rays import RenderConfig
 from nerfool_tpu.train.trainer import TrainConfig, Trainer
 
+pytestmark = pytest.mark.slow  # trainer smoke runs
+
 H, W = 24, 32
 
 
