@@ -24,7 +24,7 @@ from nerfool_tpu.attack import losses as L
 from nerfool_tpu.attack.pcgrad import pcgrad_combine
 from nerfool_tpu.attack.perturb import clamp, init_delta, project_delta
 from nerfool_tpu.render.render_rays import RenderConfig, render_rays
-from nerfool_tpu.utils.cameras import get_rays, transform_src_cameras
+from nerfool_tpu.utils.cameras import get_rays_at, transform_src_cameras
 
 
 @dataclasses.dataclass(frozen=True)
@@ -203,10 +203,10 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
     def render_subset(net_params, feats, target, src_cams, src_rgbs, sel, rcfg, key):
         intr = target["camera"][2:18].reshape(4, 4)
         c2w = target["camera"][18:34].reshape(4, 4)
-        rays_o, rays_d = get_rays(cfg.h, cfg.w, intr, c2w)
+        rays_o, rays_d = get_rays_at(sel, cfg.w, intr, c2w)
         batch = {
-            "ray_o": rays_o[sel],
-            "ray_d": rays_d[sel],
+            "ray_o": rays_o,
+            "ray_d": rays_d,
             "depth_range": target["depth_range"],
             "camera": target["camera"][None],
         }
@@ -319,9 +319,9 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
                 # half-res render with the same perturbed features
                 intr_full = tar_hw[2:18].reshape(4, 4)
                 c2w = tar_hw[18:34].reshape(4, 4)
-                rays_o, rays_d = get_rays(hh, ww, intr_full, c2w)
+                rays_o, rays_d = get_rays_at(sel_c, ww, intr_full, c2w)
                 rb = {
-                    "ray_o": rays_o[sel_c], "ray_d": rays_d[sel_c],
+                    "ray_o": rays_o, "ray_d": rays_d,
                     "depth_range": target["depth_range"], "camera": tar_hw[None],
                 }
                 ret_cons = render_rays(

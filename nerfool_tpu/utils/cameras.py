@@ -65,6 +65,35 @@ def get_rays(h, w, intrinsics, c2w, render_stride=1):
     return rays_o, rays_d
 
 
+def get_rays_at(sel, w, intrinsics, c2w):
+    """Rays for a subset of pixels, bit-exact vs ``get_rays(...)[sel]``.
+
+    The attack step samples n_rand of H*W pixels every iteration
+    (reference sample_ray.py:118-137 builds the full-image rays and
+    indexes them); generating only the selected columns avoids the full
+    [3, H*W] ray build per iteration. Column-independent matmuls at
+    HIGHEST precision make the result identical to indexing the
+    full-image rays.
+
+    :param sel: [N] int row-major pixel indices (v * w + u)
+    :param w: static int image width
+    :param intrinsics: [4,4]
+    :param c2w: [4,4]
+    :return: (rays_o [N,3], rays_d [N,3])
+    """
+    u = (sel % w).astype(jnp.float32)
+    v = (sel // w).astype(jnp.float32)
+    pixels = jnp.stack([u, v, jnp.ones_like(u)], axis=0)
+    k_inv = jnp.linalg.inv(intrinsics[:3, :3])
+    rays_d = jnp.matmul(
+        c2w[:3, :3],
+        jnp.matmul(k_inv, pixels, precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST,
+    ).T
+    rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
+    return rays_o, rays_d
+
+
 def rotation_matrix_from_euler(rot_degree):
     """Differentiable rotation matrix from 3 angles (radians), matching the
     reference composition R = Rz(dz) @ Ry(dy) @ Rx(dx) with its (unconventional)

@@ -50,6 +50,21 @@ def test_get_rays_stride():
     assert rays_d.shape[0] == ((h + 1) // 2) * ((w + 1) // 2)
 
 
+def test_get_rays_at_bit_exact_vs_full(rng):
+    """get_rays_at(sel) must equal get_rays(...)[sel] BIT-exactly — the attack
+    step's selected-ray generation replaces the full-image build + index."""
+    from nerfool_tpu.utils.cameras import get_rays_at
+
+    h, w = 11, 13
+    k, c2w = _simple_camera(h, w)
+    full_o, full_d = get_rays(h, w, jnp.asarray(k), jnp.asarray(c2w))
+    sel = rng.choice(h * w, 17, replace=False)
+    sub_o, sub_d = get_rays_at(jnp.asarray(sel), w, jnp.asarray(k),
+                               jnp.asarray(c2w))
+    np.testing.assert_array_equal(np.asarray(sub_d), np.asarray(full_d)[sel])
+    np.testing.assert_array_equal(np.asarray(sub_o), np.asarray(full_o)[sel])
+
+
 def test_rotation_matrix_orthonormal(rng):
     angles = rng.randn(5, 3).astype(np.float32) * 0.2
     r = np.asarray(rotation_matrix_from_euler(jnp.asarray(angles)))
