@@ -27,6 +27,10 @@ N_SAMPLES = int(os.environ.get("BENCH_NSAMPLES", 64))
 N_IMPORTANCE = int(os.environ.get("BENCH_NIMPORTANCE", 64))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 4096))
 N_RAND = int(os.environ.get("BENCH_NRAND", 512))
+# the reference's headline attack command runs --num_source_views 4
+# (/root/reference/README.md:64,70) — fewer views than the 10-view render
+# config; the attack benchmark measures that flagship command's workload
+ATTACK_SRC = int(os.environ.get("BENCH_ATTACK_SRC", 4))
 ATTACK_ITERS = int(os.environ.get("BENCH_ATTACK_ITERS", 10))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # rendering path
 ATTACK_DTYPE = os.environ.get("BENCH_ATTACK_DTYPE", "float32")  # parity default
@@ -237,9 +241,12 @@ def main():
         "depth": None,
         "depth_range": jnp.asarray(depth_range),
     }
-    src = {"rgbs": src_rgbs_j, "cameras": src_cams_j, "featmaps_clean": None}
+    a_rgbs, a_cams = src_rgbs_j[:ATTACK_SRC], src_cams_j[:ATTACK_SRC]
+    log(f"attack workload: {ATTACK_SRC} source views (reference README.md:64), "
+        f"n_rand={N_RAND}")
+    src = {"rgbs": a_rgbs, "cameras": a_cams, "featmaps_clean": None}
     step = jax.jit(make_attack_step(bundle, attack_render_cfg, acfg))
-    state = init_attack_state(jax.random.PRNGKey(1), acfg, src_rgbs_j)
+    state = init_attack_state(jax.random.PRNGKey(1), acfg, a_rgbs)
     t0 = time.perf_counter()
     state, aux = step(state, target, src, jax.random.PRNGKey(2))
     log(f"attack step compile+first run: {time.perf_counter()-t0:.2f}s "
@@ -267,7 +274,7 @@ def main():
     group = int(os.environ.get("BENCH_SCAN_GROUP", 10))
     step_raw = make_attack_step(bundle, attack_render_cfg, acfg)
     scan = jax.jit(lambda st, t, s, k: run_attack_scan(step_raw, st, t, s, k, group))
-    state = init_attack_state(jax.random.PRNGKey(1), acfg, src_rgbs_j)
+    state = init_attack_state(jax.random.PRNGKey(1), acfg, a_rgbs)
     t0 = time.perf_counter()
     state, aux = scan(state, target, src, jax.random.PRNGKey(5))
     force(state["delta"])
@@ -296,33 +303,35 @@ def main():
         feat_p = bundle.params["feature_net"]
         fwd = jax.jit(lambda p, x: jnp.sum(
             bundle.feature_net.apply({"params": p}, x)[0]))
+        log(f"breakdown below: feature net over the attack's {ATTACK_SRC} views")
         log(f"breakdown/feature fwd: "
-            f"{timeit(lambda *_: force(fwd(feat_p, src_rgbs_j)))*1e3:.0f} ms")
+            f"{timeit(lambda *_: force(fwd(feat_p, a_rgbs)))*1e3:.0f} ms")
         fwdbwd = jax.jit(jax.grad(
             lambda x: jnp.sum(jax.checkpoint(
                 lambda xx: bundle.feature_net.apply({"params": feat_p}, xx)[0]
             )(x))))
         log(f"breakdown/feature fwd+bwd (remat): "
-            f"{timeit(lambda *_: force(fwdbwd(src_rgbs_j)))*1e3:.0f} ms")
+            f"{timeit(lambda *_: force(fwdbwd(a_rgbs)))*1e3:.0f} ms")
         fwdbwd_nr = jax.jit(jax.grad(
             lambda x: jnp.sum(
                 bundle.feature_net.apply({"params": feat_p}, x)[0])))
         try:
             log(f"breakdown/feature fwd+bwd (no remat): "
-                f"{timeit(lambda *_: force(fwdbwd_nr(src_rgbs_j)))*1e3:.0f} ms")
+                f"{timeit(lambda *_: force(fwdbwd_nr(a_rgbs)))*1e3:.0f} ms")
         except Exception as e:  # OOM at full scale is informative, not fatal
             log(f"breakdown/feature fwd+bwd (no remat): failed ({type(e).__name__})")
 
         # render N_RAND rays fwd+bwd w.r.t. featmaps (attack render share)
-        feats_f32 = extract(bundle.params["feature_net"], src_rgbs_j)
+        feats_f32 = jax.jit(lambda p, x: bundle.feature_net.apply(
+            {"params": p}, x))(bundle.params["feature_net"], a_rgbs)
         sel = jnp.arange(N_RAND) * (n_rays // N_RAND)
         def render_loss(f):
             b = {"ray_o": batch["ray_o"][sel], "ray_d": batch["ray_d"][sel],
                  "depth_range": batch["depth_range"], "camera": batch["camera"]}
             from nerfool_tpu.render.render_rays import render_rays
             ret = render_rays(bundle.render_params, bundle.modules, b, f,
-                              attack_render_cfg, src_rgbs=src_rgbs_j,
-                              src_cameras=src_cams_j, key=None)
+                              attack_render_cfg, src_rgbs=a_rgbs,
+                              src_cameras=a_cams, key=None)
             lvl = ret["outputs_fine"] or ret["outputs_coarse"]
             return jnp.mean(lvl["rgb"] ** 2)
         rgrad = jax.jit(jax.grad(render_loss))

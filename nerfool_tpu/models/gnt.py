@@ -44,8 +44,33 @@ class FeedForward(nn.Module):
         return nn.Dense(self.out_dim, name="fc2")(x)
 
 
+class _Kernel(nn.Module):
+    """Declares an nn.Dense-shaped param subtree without applying it — the
+    fused-matmul call sites below combine several projections into one MXU
+    pass while keeping the param tree (and the .pth importer) identical."""
+
+    din: int
+    dout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.din, self.dout))
+        bias = (self.param("bias", nn.initializers.zeros, (self.dout,))
+                if self.use_bias else None)
+        return kern, bias
+
+
 class ViewAttention(nn.Module):
-    """Subtraction-based attention over the source-view axis (Attention2D:55-89)."""
+    """Subtraction-based attention over the source-view axis (Attention2D:55-89).
+
+    MXU note: k_fc and v_fc chain without a nonlinearity, so
+    ``v = (k@Wk)@Wv = k@(Wk@Wv)`` — one [D -> 2D] matmul over the big
+    [V,R,S,D] operand produces both kp and v (full 128-lane output tile,
+    one HBM pass over k instead of two). Mathematically exact; f32/bf16
+    reassociation error only.
+    """
 
     dim: int
 
@@ -53,8 +78,11 @@ class ViewAttention(nn.Module):
     def __call__(self, q, k, pos, mask=None):
         # views-first: q [R, S, D]; k [V, R, S, D]; pos [V, R, S, 4]; mask [V, R, S, 1]
         qp = nn.Dense(self.dim, use_bias=False, name="q_fc")(q)
-        kp = nn.Dense(self.dim, use_bias=False, name="k_fc")(k)
-        v = nn.Dense(self.dim, use_bias=False, name="v_fc")(kp)
+        wk, _ = _Kernel(k.shape[-1], self.dim, use_bias=False, name="k_fc")()
+        wv, _ = _Kernel(self.dim, self.dim, use_bias=False, name="v_fc")()
+        wkv = jnp.concatenate([wk, wk @ wv], axis=-1).astype(k.dtype)
+        kv = k @ wkv
+        kp, v = kv[..., : self.dim], kv[..., self.dim :]
         pos = nn.Dense(self.dim // 8, name="pos_fc0")(pos)
         pos = nn.Dense(self.dim, name="pos_fc1")(nn.relu(pos))
         attn = kp - qp[None] + pos
@@ -92,11 +120,16 @@ class RayAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, ret_attn=False):
+        # q/k/v share the input: one [D -> 3D] matmul (a 192-lane output
+        # tile beats three 64-lane-padded passes on the MXU)
         r, s, _ = x.shape
         hd = self.dim // self.n_heads
-        q = nn.Dense(self.dim, use_bias=False, name="q_fc")(x)
-        k = nn.Dense(self.dim, use_bias=False, name="k_fc")(x)
-        v = nn.Dense(self.dim, use_bias=False, name="v_fc")(x)
+        wq, _ = _Kernel(x.shape[-1], self.dim, use_bias=False, name="q_fc")()
+        wk, _ = _Kernel(x.shape[-1], self.dim, use_bias=False, name="k_fc")()
+        wv, _ = _Kernel(x.shape[-1], self.dim, use_bias=False, name="v_fc")()
+        qkv = x @ jnp.concatenate([wq, wk, wv], axis=-1).astype(x.dtype)
+        q, k, v = (qkv[..., : self.dim], qkv[..., self.dim : 2 * self.dim],
+                   qkv[..., 2 * self.dim :])
         q = q.reshape(r, s, self.n_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(r, s, self.n_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(r, s, self.n_heads, hd).transpose(0, 2, 1, 3)

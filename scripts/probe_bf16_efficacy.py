@@ -1,0 +1,98 @@
+"""Attack-EFFICACY comparison: f32 vs bf16 feature-net compute.
+
+A random-init InstanceNorm ResUNet is chaotic (1e-5 input noise fully
+decorrelates featmaps — BENCH_NOTES.md), so bf16 features can never pass a
+numerical trajectory-parity gate at random init. The operative question for
+promoting the bf16 fast path is EFFICACY: does the attack climb the loss
+landscape as high and degrade PSNR as much? This probe runs the same attack
+under both feature dtypes (same params, same keys) and reports the loss
+trajectories and the final attacked-PSNR proxy.
+
+Usage: JAX_PLATFORMS=cpu python scripts/probe_bf16_efficacy.py [iters]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from helpers import synthetic_scene
+
+    from nerfool_tpu.attack.attack import (
+        AttackConfig, init_attack_state, make_attack_step,
+    )
+    from nerfool_tpu.models.bundle import create_model
+    from nerfool_tpu.render.render_rays import RenderConfig
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    rng = np.random.RandomState(7)
+    H, W, NSRC, NS, NRAND = 24, 32, 3, 16, 64
+    target_cam, src_rgbs, src_cams, _, depth_range = synthetic_scene(
+        rng, n_src=NSRC, h=H, w=W
+    )
+    target_rgb = rng.rand(H * W, 3).astype(np.float32)
+
+    results = {}
+    for fdt in ("float32", "bfloat16"):
+        bundle = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(0),
+                              feature_dtype=fdt)
+        rcfg = RenderConfig(n_samples=NS, det=True, backbone="ibrnet")
+        acfg = AttackConfig(h=H, w=W, n_rand=NRAND, use_adam=True,
+                            adam_lr=1e-3, epsilon=8.0, adv_iters=iters)
+        step = jax.jit(make_attack_step(bundle, rcfg, acfg))
+        target = {"camera": jnp.asarray(target_cam),
+                  "rgb": jnp.asarray(target_rgb),
+                  "depth": None, "depth_range": jnp.asarray(depth_range)}
+        src = {"rgbs": jnp.asarray(src_rgbs), "cameras": jnp.asarray(src_cams),
+               "featmaps_clean": None}
+        state = init_attack_state(jax.random.PRNGKey(1), acfg, src["rgbs"])
+        losses = []
+        for it in range(iters):
+            state, aux = step(state, target, src, jax.random.PRNGKey(100 + it))
+            losses.append(float(aux["loss"]))
+        losses = np.array(losses)
+        # attacked-render quality proxy: MSE of a deterministic 256-ray render
+        # with the final perturbed features vs the clean render (same rays)
+        feats_adv = bundle.extract_features(
+            jnp.clip(src["rgbs"] + state["delta"], 0.0, 1.0))
+        feats_clean = bundle.extract_features(src["rgbs"])
+        from nerfool_tpu.utils.cameras import get_rays
+
+        intr = target_cam[2:18].reshape(4, 4)
+        c2w = target_cam[18:34].reshape(4, 4)
+        rays_o, rays_d = get_rays(H, W, jnp.asarray(intr), jnp.asarray(c2w))
+        sel = np.arange(0, H * W, 3)[:256]
+        batch = {"ray_o": rays_o[sel], "ray_d": rays_d[sel],
+                 "depth_range": jnp.asarray(depth_range),
+                 "camera": jnp.asarray(target_cam[None])}
+        from nerfool_tpu.render.render_rays import render_rays
+
+        outs = {}
+        for name, f in (("adv", feats_adv), ("clean", feats_clean)):
+            ret = render_rays(bundle.render_params, bundle.modules, batch, f,
+                              rcfg, src_rgbs=src["rgbs"],
+                              src_cameras=src["cameras"], key=None)
+            outs[name] = np.asarray(ret["outputs_coarse"]["rgb"], np.float32)
+        atk_mse = float(np.mean((outs["adv"] - outs["clean"]) ** 2))
+        results[fdt] = (losses, atk_mse)
+        print(f"{fdt}: loss[0]={losses[0]:.5f} loss[-1]={losses[-1]:.5f} "
+              f"mean(last5)={losses[-5:].mean():.5f} adv-vs-clean MSE={atk_mse:.6f}",
+              flush=True)
+
+    f32_final = results["float32"][0][-5:].mean()
+    bf16_final = results["bfloat16"][0][-5:].mean()
+    print(f"final-loss ratio bf16/f32: {bf16_final / f32_final:.3f}")
+    print(f"adv-MSE ratio bf16/f32: "
+          f"{results['bfloat16'][1] / max(results['float32'][1], 1e-12):.3f}")
+
+
+if __name__ == "__main__":
+    main()
