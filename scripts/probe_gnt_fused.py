@@ -15,8 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from nerfool_tpu.utils.platform import apply_platform_env
+
 
 def main():
+    apply_platform_env()
     import jax
     import jax.numpy as jnp
     import flax.linen as nn

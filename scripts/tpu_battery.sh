@@ -1,0 +1,33 @@
+#!/bin/bash
+# One-shot TPU measurement battery for round-2 open items. Run when the
+# relay tunnel is up; logs to /tmp/battery_*.log and prints a summary.
+# Serializes jobs (one chip) and never kills mid-compile (wedges the relay).
+set -u
+cd "$(dirname "$0")/.."
+
+run() {  # name, env..., -- cmd...
+  local name=$1; shift
+  local log=/tmp/battery_${name}.log
+  echo "=== $name -> $log"
+  "$@" >"$log" 2>&1
+  echo "exit=$? tail:"
+  tail -4 "$log" | sed 's/^/    /'
+}
+
+# 1. flagship IBRNet: confirm windowed-BSPG render + V=4 attack + breakdown
+run ibrnet env BENCH_BREAKDOWN=1 python bench.py
+
+# 2. GNT-full with aggregator fusions + BSPG
+run gnt env BENCH_BACKBONE=gnt BENCH_NSAMPLES=192 BENCH_NIMPORTANCE=0 \
+    python bench.py
+
+# 3. bf16 feature-net attack step (opt-in lever measurement, V=4)
+run ibrnet_bf16feat env BENCH_FEATURE_DTYPE=bfloat16 BENCH_ATTACK_ITERS=10 \
+    python bench.py
+
+# 4. dim-8 layout hypothesis micro-probe (GNT attention chain)
+run dim8 python scripts/probe_dim8.py
+
+echo "=== summary"
+grep -h "rays/s\|ms/iter\|breakdown\|narrow\|wide\|smajor" /tmp/battery_*.log \
+  | sed 's/^/  /'
