@@ -28,6 +28,10 @@ run ibrnet_bf16feat env BENCH_FEATURE_DTYPE=bfloat16 BENCH_ATTACK_ITERS=10 \
 # 4. dim-8 layout hypothesis micro-probe (GNT attention chain)
 run dim8 python scripts/probe_dim8.py
 
+# 5. GNT op profile (top self-time ops of the render chunk)
+run gnt_profile env BENCH_BACKBONE=gnt BENCH_NSAMPLES=192 BENCH_NIMPORTANCE=0 \
+    python scripts/profile_render.py /tmp/gnt_trace
+
 echo "=== summary"
 grep -h "rays/s\|ms/iter\|breakdown\|narrow\|wide\|smajor" /tmp/battery_*.log \
   | sed 's/^/  /'
