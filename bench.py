@@ -226,6 +226,16 @@ def main():
     rays_per_sec = n_rays / render_s
     log(f"clean render: {n_rays} rays in {render_s:.3f}s -> {rays_per_sec:,.0f} rays/s")
 
+    # emit the headline metric NOW: a relay flake during the attack sections
+    # below must not lose the already-measured render number (the driver
+    # parses this one JSON line from stdout)
+    print(json.dumps({
+        "metric": "clean_render_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 3),
+    }), flush=True)
+
     # ---- attack step benchmark (f32 render config: the parity path)
     import dataclasses
     # f32 is the parity default; the BSPG selection kernel is forward-only
@@ -337,13 +347,6 @@ def main():
         rgrad = jax.jit(jax.grad(render_loss))
         log(f"breakdown/render {N_RAND} rays fwd+bwd (vs featmaps): "
             f"{timeit(lambda *_: force(rgrad(feats_f32)[0]))*1e3:.0f} ms")
-
-    print(json.dumps({
-        "metric": "clean_render_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 3),
-    }), flush=True)
 
 
 if __name__ == "__main__":
