@@ -338,3 +338,48 @@ def test_bspg_windowed_plan_bound_matches(rng):
                                         debug=dbg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bspg_sharded_render_matches_single_device(rng):
+    """The flagship path composition: BSPG whole-image render with the ray
+    axis sharded over the 8-device virtual mesh == single-device (GSPMD
+    replicates the patch tables, splits the block-major rays)."""
+    import dataclasses
+
+    from nerfool_tpu.models.bundle import create_model
+    from nerfool_tpu.ops.bspg import plan_render_specs
+    from nerfool_tpu.parallel.mesh import get_mesh, shard_rays
+    from nerfool_tpu.render.render_image import render_single_image
+    from nerfool_tpu.render.render_rays import RenderConfig
+
+    target_cam, src_rgbs, src_cams, _, depth_range = llff_rig_scene(
+        rng, n_src=3, h=H, w=W
+    )
+    bundle = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(3))
+    feats = bundle.extract_features(jnp.asarray(src_rgbs))
+    intr = target_cam[2:18].reshape(4, 4)
+    c2w = target_cam[18:34].reshape(4, 4)
+    rays_o, rays_d = get_rays(H, W, jnp.asarray(intr), jnp.asarray(c2w))
+    batch = {
+        "ray_o": rays_o, "ray_d": rays_d,
+        "depth_range": jnp.asarray(depth_range),
+        "camera": jnp.asarray(target_cam[None]),
+    }
+    specs = plan_render_specs(
+        target_cam[None], src_cams, np.asarray(depth_range).reshape(-1),
+        (H, W), feats[0].shape[1:3], block=BLOCK,
+    )
+    assert specs is not None
+    cfg = RenderConfig(n_samples=12, n_importance=8, det=True,
+                       backbone="ibrnet", bspg_specs=specs, bspg_pallas=False)
+    args = (bundle.render_params, bundle.modules, batch, feats)
+    kw = dict(h=H, w=W, src_rgbs=jnp.asarray(src_rgbs),
+              src_cameras=jnp.asarray(src_cams), chunk_size=256)
+    ref = render_single_image(*args, cfg, **kw)
+    out = render_single_image(*args, cfg, **kw,
+                              ray_sharding=shard_rays(get_mesh()))
+    for lvl in ("outputs_coarse", "outputs_fine"):
+        np.testing.assert_allclose(
+            np.asarray(out[lvl]["rgb"]), np.asarray(ref[lvl]["rgb"]),
+            rtol=1e-4, atol=1e-5,
+        )
