@@ -23,11 +23,16 @@ from nerfool_tpu.models.layers import TorchLayerNorm
 def nerf_embed(x, num_freqs: int = 10, max_freq_log2: int = 9):
     """NeRF sin/cos embedding, include_input, log-sampled (Embedder:6-37).
 
+    Computed entirely in ``x.dtype`` (the frequency bands are cast to it):
+    the reference multiplies by 0-dim frequency tensors, which promote
+    WEAKLY in torch, so its embeddings carry the input dtype end to end.
+
     :param x: [..., D]
     :return: [..., D * (1 + 2*num_freqs)]  (freq-major, sin before cos)
     """
     outs = [x]
-    freqs = 2.0 ** jnp.linspace(0.0, float(max_freq_log2), num_freqs)
+    freqs = (2.0 ** jnp.linspace(0.0, float(max_freq_log2), num_freqs)
+             ).astype(x.dtype)
     for f in freqs:
         outs.append(jnp.sin(x * f))
         outs.append(jnp.cos(x * f))
@@ -185,8 +190,16 @@ class GNTAggregator(nn.Module):
         :return: [R, 3] rgb, or [R, 3 + S] (rgb ++ per-sample weights) if ret_alpha
         """
         viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
-        viewdirs = nerf_embed(viewdirs, self.posenc_freqs)  # [R, 63]
-        input_pts = nerf_embed(pts, self.posenc_freqs)  # [R, S, 63]
+        # the reference HARD-CASTS pts/viewdirs to float32 before the
+        # positional encodings even under double precision
+        # (transformer_network.py:273-278 ``.float()``); the f32-precision
+        # embeddings are then promoted back at the q-concat injection below.
+        # Replicated for trajectory-level f64 parity; a no-op in f32 runs.
+        emb_dt = jnp.float32 if jnp.dtype(pts.dtype) == jnp.float64 else pts.dtype
+        viewdirs = nerf_embed(viewdirs.astype(emb_dt), self.posenc_freqs)  # [R, 63]
+        input_pts = nerf_embed(pts.astype(emb_dt), self.posenc_freqs)  # [R, S, 63]
+        input_pts = input_pts.astype(pts.dtype)
+        viewdirs = viewdirs.astype(pts.dtype)
         input_views = jnp.broadcast_to(viewdirs[:, None, :], input_pts.shape[:2] + (viewdirs.shape[-1],))
 
         x = nn.Dense(self.netwidth, name="rgbfeat_fc0")(rgb_feat)
@@ -204,7 +217,10 @@ class GNTAggregator(nn.Module):
             if self.ret_alpha:
                 q, attn_out = q
 
-        h = TorchLayerNorm(name="norm")(q)
+        # the reference's FINAL norm is a default-eps nn.LayerNorm (1e-5),
+        # unlike the in-block norms' explicit eps=1e-6
+        # (transformer_network.py:250 vs :97-98,180-181)
+        h = TorchLayerNorm(eps=1e-5, name="norm")(q)
         rgb = nn.Dense(3, name="rgb_fc")(jnp.mean(h, axis=1))
         if self.ret_alpha:
             return jnp.concatenate([rgb, attn_out], axis=1)

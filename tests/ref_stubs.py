@@ -34,3 +34,20 @@ def install():
         tv.transforms = tr
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tr
+    if "lpips" not in sys.modules:
+        # eval/gnt/utils.py instantiates lpips.LPIPS at import time; the GNT
+        # oracle tests never evaluate LPIPS, a no-op class suffices
+        m = types.ModuleType("lpips")
+
+        class _LPIPS:
+            def __init__(self, *a, **k):
+                pass
+
+            def cuda(self, *a, **k):
+                return self
+
+            def __call__(self, *a, **k):
+                raise RuntimeError("lpips stub: not computable in tests")
+
+        m.LPIPS = _LPIPS
+        sys.modules["lpips"] = m
