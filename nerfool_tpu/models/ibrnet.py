@@ -25,7 +25,10 @@ def sinusoid_pos_encoding(n_samples: int, d_hid: int, dtype=jnp.float32):
     table = np.zeros((n_samples, d_hid), dtype=np.float64)
     table[:, 0::2] = np.sin(angle[:, 0::2])
     table[:, 1::2] = np.cos(angle[:, 1::2])
-    return jnp.asarray(table, dtype=dtype)
+    # the reference hard-casts the numpy table to float32 regardless of the
+    # model dtype (mlp_network.py:219 ``.float()``) — round through f32 so
+    # the f64 parity path sees the same values
+    return jnp.asarray(table.astype(np.float32), dtype=dtype)
 
 
 def fused_mean_variance(x, weight, axis=0):
