@@ -50,4 +50,5 @@ def install():
                 raise RuntimeError("lpips stub: not computable in tests")
 
         m.LPIPS = _LPIPS
+        m._NERFOOL_STUB = True
         sys.modules["lpips"] = m

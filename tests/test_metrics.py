@@ -135,6 +135,8 @@ def test_lpips_matches_pip_package(rng):
     package (and its downloaded VGG weights) is unavailable — zero-egress
     environments cannot fetch them."""
     lpips_pkg = pytest.importorskip("lpips")
+    if getattr(lpips_pkg, "_NERFOOL_STUB", False):
+        pytest.skip("only the ref_stubs lpips placeholder is installed")
     from nerfool_tpu.metrics.lpips import convert_lpips_torch_state
 
     net = lpips_pkg.LPIPS(net="vgg", verbose=False)
