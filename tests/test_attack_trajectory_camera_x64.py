@@ -45,11 +45,19 @@ target_cam, src_rgbs, src_cams, _, depth_range = synthetic_scene(rng, n_src=NSRC
 target_cam = target_cam.astype(np.float64); src_rgbs = src_rgbs.astype(np.float64)
 src_cams = src_cams.astype(np.float64); depth_range = depth_range.astype(np.float64)
 target_rgb = rng.rand(H, W, 3).astype(np.float64)
-yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing='ij')
-tar_depth = (3.0 + np.sin(xx / 7.0) + 0.5 * np.cos(yy / 5.0)).astype(np.float64)
-src_depths = np.stack([
-    3.0 + np.cos(xx / 6.0 + i) + 0.4 * np.sin(yy / 4.0) for i in range(NSRC)
+# the reference expects GT depths at HALF the rgb resolution and
+# nearest-upsamples them 2x in the sampler (sample_ray.py:66-69; the
+# guard compares W to the rgb CHANNEL count, so it always fires); the
+# jax engine pre-upsamples, so the oracle gets half-res and the jax
+# side gets the 2x nearest-upsampled twins
+yy, xx = np.meshgrid(np.arange(H // 2), np.arange(W // 2), indexing='ij')
+tar_depth_half = (3.0 + np.sin(xx / 4.0) + 0.5 * np.cos(yy / 3.0)).astype(np.float64)
+src_depths_half = np.stack([
+    3.0 + np.cos(xx / 3.5 + i) + 0.4 * np.sin(yy / 2.5) for i in range(NSRC)
 ]).astype(np.float64)
+up2 = lambda d: np.repeat(np.repeat(d, 2, axis=-2), 2, axis=-1)
+tar_depth = up2(tar_depth_half)
+src_depths = up2(src_depths_half)
 delta0 = ((rng.rand(1, NSRC, H, W, 3) * 2 - 1) * EPS).astype(np.float64)
 delta0 = np.clip(delta0, -src_rgbs[None], 1.0 - src_rgbs[None])
 rot_eps_rad = ROT_EPS_DEG / 180.0 * np.pi
@@ -126,8 +134,8 @@ data = {
     'camera': torch.from_numpy(target_cam[None]),
     'rgb_path': ['synthetic.png'],
     'rgb': torch.from_numpy(target_rgb[None]),
-    'depth': torch.from_numpy(tar_depth[None]),
-    'src_depths': torch.from_numpy(src_depths)[None],
+    'depth': torch.from_numpy(tar_depth_half[None]),
+    'src_depths': torch.from_numpy(src_depths_half)[None],
     'src_rgbs': t_src_rgbs,
     'src_cameras': src_cameras_orig.clone(),
     'depth_range': torch.from_numpy(depth_range),
