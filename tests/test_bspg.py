@@ -383,3 +383,52 @@ def test_bspg_sharded_render_matches_single_device(rng):
             np.asarray(out[lvl]["rgb"]), np.asarray(ref[lvl]["rgb"]),
             rtol=1e-4, atol=1e-5,
         )
+
+
+def test_bspg_whole_image_render_matches_gnt(rng):
+    """BSPG == per-tap for the GNT backbone (single net, ret_alpha, no fine
+    pass, 35-channel rgb+feat taps) — the gnt-full bench path."""
+    import dataclasses
+
+    from nerfool_tpu.models.bundle import create_model
+    from nerfool_tpu.ops.bspg import plan_render_specs
+    from nerfool_tpu.render.render_image import render_single_image
+    from nerfool_tpu.render.render_rays import RenderConfig
+
+    target_cam, src_rgbs, src_cams, _, depth_range = llff_rig_scene(
+        rng, n_src=3, h=H, w=W
+    )
+    bundle = create_model(backbone="gnt", rng_key=jax.random.PRNGKey(5),
+                          trans_depth=2, single_net=True)
+    feats = bundle.extract_features(jnp.asarray(src_rgbs))
+    cfg = RenderConfig(n_samples=24, n_importance=0, det=True, backbone="gnt",
+                       single_net=True, ret_alpha=True, inv_uniform=True)
+    intr = target_cam[2:18].reshape(4, 4)
+    c2w = target_cam[18:34].reshape(4, 4)
+    rays_o, rays_d = get_rays(H, W, jnp.asarray(intr), jnp.asarray(c2w))
+    batch = {
+        "ray_o": rays_o, "ray_d": rays_d,
+        "depth_range": jnp.asarray(depth_range),
+        "camera": jnp.asarray(target_cam[None]),
+    }
+    args = (bundle.render_params, bundle.modules, batch, feats)
+    kw = dict(h=H, w=W, src_rgbs=jnp.asarray(src_rgbs),
+              src_cameras=jnp.asarray(src_cams), chunk_size=256)
+    ref = render_single_image(*args, cfg, **kw)
+
+    specs = plan_render_specs(
+        target_cam[None], src_cams, np.asarray(depth_range).reshape(-1),
+        (H, W), feats[0].shape[1:3], block=BLOCK, n_samples=24,
+        n_importance=0, inv_uniform=True,
+    )
+    assert specs is not None
+    cfg_b = dataclasses.replace(cfg, bspg_specs=specs, bspg_pallas=False)
+    out = render_single_image(*args, cfg_b, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out["outputs_coarse"]["rgb"]),
+        np.asarray(ref["outputs_coarse"]["rgb"]), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["outputs_coarse"]["depth"]),
+        np.asarray(ref["outputs_coarse"]["depth"]), rtol=1e-4, atol=1e-4,
+    )
