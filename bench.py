@@ -243,6 +243,18 @@ def main():
     # render keeps the per-tap XLA gather path
     attack_render_cfg = dataclasses.replace(cfg, compute_dtype=ATTACK_DTYPE,
                                             bspg_specs=None)
+    if os.environ.get("BENCH_ATTACK_SPG", "0") == "1":
+        # per-RAY segment-patch gather for the random-pixel attack batches
+        from nerfool_tpu.ops.spg import plan_attack_specs
+
+        spg_specs = plan_attack_specs(
+            target_cam[None], src_cams[:ATTACK_SRC],
+            depth_range.reshape(-1), (H, W), feats[0].shape[1:3],
+        )
+        attack_render_cfg = dataclasses.replace(
+            attack_render_cfg, spg_specs=spg_specs)
+        log(f"attack SPG: feat p={spg_specs[0].p} groups={spg_specs[0].groups}"
+            f" | rgb p={spg_specs[1].p} groups={spg_specs[1].groups}")
     acfg = AttackConfig(h=H, w=W, n_rand=N_RAND, use_adam=True, adam_lr=1e-3,
                         epsilon=8.0)
     target = {

@@ -199,6 +199,10 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
     # eval renders keep the fused tables
     render_cfg = dataclasses.replace(render_cfg, fuse_rgb_rows=False)
     gt_cfg = dataclasses.replace(render_cfg, det=True, geo_noise=0.0)
+    # auxiliary renders (ds_rgb half-res consistency, dedicated depth-smooth
+    # patch batch) ray-sample DIFFERENT cameras/batches than the planned
+    # main rays — keep them on the per-tap gather
+    aux_cfg = dataclasses.replace(render_cfg, spg_specs=None)
 
     def render_subset(net_params, feats, target, src_cams, src_rgbs, sel, rcfg, key):
         intr = target["camera"][2:18].reshape(4, 4)
@@ -325,7 +329,7 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
                     "depth_range": target["depth_range"], "camera": tar_hw[None],
                 }
                 ret_cons = render_rays(
-                    params, modules, rb, feats, render_cfg,
+                    params, modules, rb, feats, aux_cfg,
                     src_rgbs=src_rgbs, src_cameras=src_cams, key=key,
                 )
                 sel_used, tar_cam_used = sel_c, tar_hw
@@ -370,7 +374,7 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
                 sel_p = select_ray_indices(k_patch, patch_cfg)
                 ret_smooth = render_subset(
                     params, feats, target, src_cams, src_rgbs, sel_p,
-                    render_cfg, key,
+                    aux_cfg, key,
                 )
             s = L.depth_smooth_loss(ret_smooth["outputs_coarse"]["depth"],
                                     cfg.patch_size)

@@ -465,3 +465,36 @@ def make_spec(groups, p, hw_sample, hw_full):
         pby=_patch_grid(int(h_s), p), pbx=_patch_grid(int(w_s), p),
         groups=groups,
     )
+
+
+def plan_attack_specs(target_cams, src_cams, depth_range, rgb_hw, feat_hw,
+                      feat_ps=(4, 6, 8, 12, 16), rgb_ps=(8, 12, 16, 24, 32),
+                      ray_stride=4, n_groups=3):
+    """Convenience planner for the attack's per-ray gather:
+    (spec_feat, spec_rgb) covering EVERY target camera the attack may sample
+    rays from (view-specific: the one test view; universal: all train views).
+
+    Picks the patch size minimizing the per-sample selection cost
+    sum_groups |Vg| * K * (p+1)^2 — the one-hot contraction width times the
+    row-weight width (select_samples). Unlike BSPG there is no coverage
+    bound to satisfy: the per-ray walk enumerates exactly the patches the
+    segment crosses.
+    """
+    target_cams = np.asarray(target_cams, np.float64).reshape(-1, 34)
+
+    def pick(hw_sample, ps):
+        best, best_cost = None, None
+        for p in ps:
+            groups = plan_groups(target_cams, src_cams, depth_range,
+                                 hw_sample, p, ray_stride=ray_stride,
+                                 n_groups=n_groups)
+            cost = sum(len(v) * k * (p + 1) ** 2 for v, k in groups)
+            if best_cost is None or cost < best_cost:
+                best_cost = cost
+                best = make_spec(
+                    groups, p, hw_sample,
+                    (int(target_cams[0][0]), int(target_cams[0][1])),
+                )
+        return best
+
+    return pick(feat_hw, feat_ps), pick(rgb_hw, rgb_ps)

@@ -73,6 +73,14 @@ class RenderConfig:
     # Kw-slot window of the walk their depth range can touch (~2-3x less
     # one-hot width on the dominant wide-K view groups)
     bspg_window: bool = True
+    # per-RAY segment-patch gather (ops/spg.py) for random-pixel ray batches
+    # (the attack step, where block-major BSPG does not apply): per (ray,
+    # view) the <= K patch rows its epipolar segment crosses are gathered
+    # once and serve BOTH passes; the per-tap gather (and its scatter-add
+    # backward, which carries the attack gradient into delta) drops from
+    # S+I rows per (ray, view) to K ~ 8-24 patch rows. (spec_feat, spec_rgb)
+    # static SPGSpec pair from the host planner; None keeps per-tap.
+    spg_specs: Optional[tuple] = None
 
 
 def make_shade_fn(model, cfg: RenderConfig) -> Callable:
@@ -107,7 +115,7 @@ def wants_unified_tables(cfg: RenderConfig, featmaps, featmaps_clean=None):
 
 def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None,
                        compute_dtype="float32", unify_feat=False,
-                       fuse_rgb=False, bspg_specs=None):
+                       fuse_rgb=False, bspg_specs=None, spg_specs=None):
     """Corner-pack the gather tables once (outside any chunk loop).
 
     Returns {'rgb', 'feat': (coarse, fine), 'shapes', optionally 'feat_clean'};
@@ -132,6 +140,25 @@ def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None,
 
     dt = jnp.dtype(compute_dtype)
     cast = (lambda x: jnp.asarray(x).astype(dt)) if dt != jnp.float32 else jnp.asarray
+    if spg_specs is not None:
+        from nerfool_tpu.ops.spg import pack_patch_table as _ppt
+
+        spec_f, spec_r = spg_specs
+        if featmaps[0] is featmaps[1]:
+            t = _ppt(cast(featmaps[0]), spec_f.p)
+            feat_tables = (t, t)
+        else:
+            feat_tables = tuple(_ppt(cast(f), spec_f.p) for f in featmaps)
+        return {
+            "spg": {
+                "feat": feat_tables,
+                "rgb": _ppt(cast(src_rgbs), spec_r.p),
+            },
+            "shapes": {
+                "rgb": src_rgbs.shape,
+                "feat": tuple(f.shape for f in featmaps),
+            },
+        }
     if bspg_specs is not None:
         from nerfool_tpu.ops.bspg import pack_patch_table
 
@@ -317,6 +344,13 @@ def render_rays(
             fuse_rgb=cfg.fuse_rgb_rows and featmaps_clean is None and not hybrid,
             bspg_specs=cfg.bspg_specs if not hybrid
             and featmaps_clean is None else None,
+            spg_specs=cfg.spg_specs if not hybrid
+            and featmaps_clean is None else None,
+        )
+    if packed.get("spg") is not None:  # per-ray segment-patch gather
+        return _render_rays_spg(
+            params, model, ray_batch, cfg, src_rgbs, src_cameras, keys, packed,
+            pts, z_vals,
         )
     if packed.get("bspg") is not None:  # block segment-patch gather
         return _render_rays_bspg(
@@ -443,6 +477,105 @@ def _render_rays_reuse(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
                        ray_d, "fine")
     pmask_f = jnp.sum(m_f[..., 0], axis=0) > 1
     ret["outputs_fine"] = _finalize_level(cfg, raw_f, z_all, pmask_f, keys[3])
+    return ret
+
+
+def _render_rays_spg(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
+                     src_cameras, keys, packed, pts, z_vals):
+    """Coarse+fine rendering through the per-RAY segment-patch gather.
+
+    The attack-step twin of ``_render_rays_bspg`` for random-pixel ray
+    batches (no block structure): per (ray, view) the <= K patch rows its
+    epipolar segment crosses are enumerated once (slot walk over the clipped
+    segment, ops/spg.py) and ONE patch gather serves both render passes —
+    fine z-values stay inside [near, far], which the segment covers by
+    construction. Replaces the per-tap random-row gather and, in the
+    backward pass, turns the attack gradient's per-tap scatter-add into a
+    K-patch-row scatter plus transposed one-hot matmuls.
+
+    Differentiability matches the per-tap path: table gradients flow through
+    the selection matmuls into ``pack_patch_table`` (reshape-only backward),
+    coordinate gradients through the bilinear fractions (slot ids and
+    integer cells are stop-gradient, exactly like the per-tap floor).
+    """
+    from nerfool_tpu.ops.spg import (
+        build_slots,
+        gather_patches,
+        project_endpoints,
+        select_samples,
+    )
+    from nerfool_tpu.render.projection import (
+        compute_angle_planes,
+        inbound_mask_planes,
+        project_points_planes,
+    )
+
+    spec_f, spec_r = cfg.spg_specs
+    r = pts.shape[0]
+    v = src_cameras.shape[0]
+    cam = ray_batch["camera"].reshape(-1)[:34]
+    # same camera-gradient semantics as epipolar_gather (projection.py:129):
+    # IBRNet detaches the source cameras, GNT / camera attacks do not. The
+    # slot WALK always sees detached endpoints (build_slots stop-grads
+    # internally — slot ids are integers).
+    if cfg.stop_camera_grad:
+        src_cameras = jax.lax.stop_gradient(src_cameras)
+    h = jax.lax.stop_gradient(src_cameras[0, 0])
+    w = jax.lax.stop_gradient(src_cameras[0, 1])
+
+    ray_o, ray_d = ray_batch["ray_o"], ray_batch["ray_d"]
+    near = ray_batch["depth_range"].reshape(-1)[0]
+    far = ray_batch["depth_range"].reshape(-1)[1]
+    pa, pb = project_endpoints(ray_o + ray_d * near, ray_o + ray_d * far,
+                               src_cameras)  # [V, R, 3] homogeneous
+
+    slots_f = build_slots(pa, pb, spec_f)
+    slots_r = build_slots(pa, pb, spec_r)
+    tabs = packed["spg"]
+    g_rgb = gather_patches(tabs["rgb"], slots_r, spec_r)
+    c_feat = packed["shapes"]["feat"][0][-1]
+
+    def sample_level(pts_l, li):
+        s = pts_l.shape[1]
+        flat = pts_l.reshape(-1, 3)
+        px, py, front = project_points_planes(flat, src_cameras)
+        gx = 2.0 * px / (w - 1.0) - 1.0
+        gy = 2.0 * py / (h - 1.0) - 1.0
+        g_f = gather_patches(tabs["feat"][li], slots_f, spec_f)
+        feat = select_samples(g_f, slots_f, gx, gy, spec_f, c_feat
+                              ).reshape(v, r, s, c_feat)
+        rgb = select_samples(g_rgb, slots_r, gx, gy, spec_r, 3
+                             ).reshape(v, r, s, 3)
+        dxp, dyp, dzp, dot = compute_angle_planes(flat, cam, src_cameras)
+        ray_diff = jnp.stack([dxp, dyp, dzp, dot], axis=-1).reshape(v, r, s, 4)
+        mask = (inbound_mask_planes(px, py, h, w) & front).astype(
+            rgb.dtype
+        ).reshape(v, r, s, 1)
+        rgb_feat = jnp.concatenate([rgb, feat], axis=-1)
+        return rgb_feat, ray_diff, mask
+
+    ray_d_full = ray_batch["ray_d"]
+    rgb_feat_c, rd_c, m_c = sample_level(pts, 0)
+    raw_c = _shade_raw(params, model, cfg, rgb_feat_c, rd_c, m_c, pts,
+                       ray_d_full, "coarse")
+    pmask_c = jnp.sum(m_c[..., 0], axis=0) > 1
+    outputs_coarse = _finalize_level(cfg, raw_c, z_vals, pmask_c, keys[1])
+    ret = {"outputs_coarse": outputs_coarse, "outputs_fine": None}
+
+    if cfg.n_importance > 0:
+        weights = jax.lax.stop_gradient(outputs_coarse["weights"])
+        z_all = sample_fine_zvals(
+            z_vals, weights, cfg.n_importance, inv_uniform=cfg.inv_uniform,
+            det=cfg.det, key=keys[2],
+        )
+        pts_fine = (z_all[..., None] * ray_d_full[:, None, :]
+                    + ray_batch["ray_o"][:, None, :])
+        rgb_feat_f, rd_f, m_f = sample_level(pts_fine, 1)
+        raw_f = _shade_raw(params, model, cfg, rgb_feat_f, rd_f, m_f, pts_fine,
+                           ray_d_full, "fine")
+        pmask_f = jnp.sum(m_f[..., 0], axis=0) > 1
+        ret["outputs_fine"] = _finalize_level(cfg, raw_f, z_all, pmask_f,
+                                              keys[3])
     return ret
 
 

@@ -25,6 +25,9 @@ run gnt env BENCH_BACKBONE=gnt BENCH_NSAMPLES=192 BENCH_NIMPORTANCE=0 \
 run ibrnet_bf16feat env BENCH_FEATURE_DTYPE=bfloat16 BENCH_ATTACK_ITERS=10 \
     python bench.py
 
+# 3b. attack step with the per-ray segment-patch gather (SPG)
+run ibrnet_spg env BENCH_ATTACK_SPG=1 BENCH_ATTACK_ITERS=10 python bench.py
+
 # 4. dim-8 layout hypothesis micro-probe (GNT attention chain)
 run dim8 python scripts/probe_dim8.py
 

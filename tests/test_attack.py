@@ -391,3 +391,37 @@ def test_bf16_feature_dtype_runs_and_matches_noise_floor(rng):
     state1, aux = step(state0, target, src, jax.random.PRNGKey(5))
     assert np.isfinite(float(aux["loss"]))
     assert float(jnp.max(jnp.abs(state1["delta"]))) <= cfg.eps + 1e-6
+
+
+def test_attack_step_spg_matches_per_tap(rng):
+    """The attack step with the per-ray segment-patch gather (spg_specs in
+    the render config) produces the same loss and delta update as the
+    per-tap gather — one full step, same key (f32 reassociation only)."""
+    import dataclasses
+
+    from nerfool_tpu.ops.spg import plan_attack_specs
+
+    bundle, render_cfg, cfg, target, src = _attack_setup(
+        rng, use_adam=True, adam_lr=1e-3, epsilon=8.0, use_pseudo_gt=True,
+        density_loss=0.1, depth_var_loss=0.1,
+    )
+    render_cfg = dataclasses.replace(render_cfg, n_importance=8)
+    feats = bundle.extract_features(src["rgbs"])
+    specs = plan_attack_specs(
+        np.asarray(target["camera"])[None], np.asarray(src["cameras"]),
+        np.asarray(target["depth_range"]).reshape(-1),
+        (H, W), np.asarray(feats[0]).shape[1:3],
+    )
+    rcfg_spg = dataclasses.replace(render_cfg, spg_specs=specs)
+
+    outs = {}
+    for name, rc in (("tap", render_cfg), ("spg", rcfg_spg)):
+        step = jax.jit(make_attack_step(bundle, rc, cfg))
+        state = init_attack_state(jax.random.PRNGKey(1), cfg, src["rgbs"])
+        state, aux = step(state, target, src, jax.random.PRNGKey(7))
+        outs[name] = (float(aux["loss"]), np.asarray(state["delta"]))
+
+    assert abs(outs["spg"][0] - outs["tap"][0]) < 1e-5 * (
+        abs(outs["tap"][0]) + 1e-9), (outs["spg"][0], outs["tap"][0])
+    np.testing.assert_allclose(outs["spg"][1], outs["tap"][1],
+                               rtol=1e-3, atol=2e-6)

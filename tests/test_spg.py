@@ -202,3 +202,73 @@ def test_plan_groups_covers_render(rng):
     out = _run_spg(src_rgbs, spec, np.asarray(pa), np.asarray(pb), gx, gy)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_spg_render_rays_matches_per_tap(rng):
+    """render_rays with spg_specs == the per-tap path: forward outputs AND
+    the d(loss)/d(featmaps) gradient (the attack's delta-gradient carrier),
+    coarse+fine, random-pixel ray batch — the attack-step configuration."""
+    import dataclasses
+
+    from helpers import llff_rig_scene
+    from nerfool_tpu.models.bundle import create_model
+    from nerfool_tpu.ops.spg import plan_attack_specs
+    from nerfool_tpu.render.render_rays import RenderConfig, render_rays
+    from nerfool_tpu.utils.cameras import get_rays
+
+    h, w = 32, 32
+    target_cam, src_rgbs, src_cams, _, depth_range = llff_rig_scene(
+        rng, n_src=3, h=h, w=w
+    )
+    bundle = create_model(backbone="ibrnet", rng_key=jax.random.PRNGKey(2))
+    feats = bundle.extract_features(jnp.asarray(src_rgbs))
+    cfg = RenderConfig(n_samples=12, n_importance=8, det=True,
+                       backbone="ibrnet", inv_uniform=True,
+                       fuse_rgb_rows=False, reuse_fine_taps=False)
+
+    intr = target_cam[2:18].reshape(4, 4)
+    c2w = target_cam[18:34].reshape(4, 4)
+    rays_o, rays_d = get_rays(h, w, jnp.asarray(intr), jnp.asarray(c2w))
+    sel = rng.choice(h * w, 64, replace=False)
+    batch = {
+        "ray_o": rays_o[sel], "ray_d": rays_d[sel],
+        "depth_range": jnp.asarray(depth_range),
+        "camera": jnp.asarray(target_cam[None]),
+    }
+
+    specs = plan_attack_specs(
+        target_cam[None], src_cams, np.asarray(depth_range).reshape(-1),
+        (h, w), feats[0].shape[1:3],
+    )
+    cfg_s = dataclasses.replace(cfg, spg_specs=specs)
+
+    def run(c, f):
+        ret = render_rays(bundle.render_params, bundle.modules, batch, f, c,
+                          src_rgbs=jnp.asarray(src_rgbs),
+                          src_cameras=jnp.asarray(src_cams), key=None)
+        return ret
+
+    ref = run(cfg, feats)
+    out = run(cfg_s, feats)
+    for lvl in ("outputs_coarse", "outputs_fine"):
+        np.testing.assert_allclose(
+            np.asarray(out[lvl]["rgb"]), np.asarray(ref[lvl]["rgb"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[lvl]["depth"]), np.asarray(ref[lvl]["depth"]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def loss(c):
+        def fn(f):
+            ret = run(c, f)
+            return (jnp.mean(ret["outputs_fine"]["rgb"] ** 2)
+                    + jnp.mean(ret["outputs_coarse"]["rgb"] ** 2))
+        return fn
+
+    g_ref = jax.grad(loss(cfg))(feats)
+    g_spg = jax.grad(loss(cfg_s))(feats)
+    for a, b in zip(g_spg, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
