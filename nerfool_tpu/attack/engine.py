@@ -109,6 +109,7 @@ class AdvEvaluator:
         self.dataset_kwargs = dkw
         self.key = jax.random.PRNGKey(1234)
         self._step_cache = {}
+        self._spg_cfg = None
 
     def retarget(self, args):
         """Point the evaluator at another scene/dataset while keeping the
@@ -164,11 +165,75 @@ class AdvEvaluator:
             src["depths"] = jnp.asarray(np.asarray(data["src_depths"]))
         return src
 
+    def _attack_render_cfg(self, extra_datasets=()):
+        """Render config for ATTACK steps: with --attack_spg, the per-ray
+        segment-patch gather is planned ONCE over every camera the attack may
+        sample (test views + source candidates; universal additionally unions
+        the train split) with a single uniform-K view group, so one compiled
+        step serves every view. Falls back to the per-tap gather — with a
+        warning — where the plan cannot cover the rays: unseen-view
+        interpolation and camera-pose attacks move cameras outside any
+        pre-planned set, and not every dataset exposes target_cameras()."""
+        args = self.args
+        base = self.render_cfg
+        if not getattr(args, "attack_spg", False):
+            return base
+        if self._spg_cfg is not None:
+            return self._spg_cfg
+        import dataclasses
+        import warnings
+
+        def fallback(reason):
+            warnings.warn(f"--attack_spg disabled: {reason}")
+            self._spg_cfg = base
+            return base
+
+        if getattr(args, "use_unseen_views", False):
+            return fallback("unseen-view targets are interpolated poses "
+                            "outside any pre-planned camera set")
+        if getattr(args, "perturb_camera", False):
+            return fallback("the camera-pose attack moves source cameras "
+                            "outside the planned set")
+        cam_sets, ranges = [], []
+        for ds in (self.test_dataset, *extra_datasets):
+            fn = getattr(ds, "target_cameras", None)
+            got = fn() if fn is not None else None
+            if got is None:
+                return fallback(
+                    f"{type(ds).__name__} exposes no target_cameras()")
+            cams, dr = got
+            cam_sets.append(np.asarray(cams, np.float64))
+            ranges.append(np.asarray(dr, np.float64))
+        cams_all = np.concatenate(cam_sets, axis=0)
+        dr = np.array([min(r[0] for r in ranges), max(r[1] for r in ranges)])
+        h, w = int(cams_all[0][0]), int(cams_all[0][1])
+
+        from nerfool_tpu.ops.spg import plan_attack_specs
+
+        jnpf = self.jax.ShapeDtypeStruct((1, h, w, 3), np.float32)
+        fshape = self.jax.eval_shape(
+            lambda x: self.bundle.extract_features(x), jnpf
+        )[0].shape
+        specs = plan_attack_specs(cams_all, cams_all, dr, (h, w),
+                                  fshape[1:3], n_groups=1)
+        # remap the N-candidate plan onto the runtime's V source-view slots:
+        # any candidate may occupy any slot, so every slot gets the uniform
+        # worst-case K (one group -> one compiled step for all views)
+        v = int(args.num_source_views)
+        specs = tuple(
+            dataclasses.replace(
+                sp, groups=((tuple(range(v)), sp.groups[0][1]),)
+            ) for sp in specs
+        )
+        self._spg_cfg = dataclasses.replace(base, spg_specs=specs)
+        return self._spg_cfg
+
     def _attack_step_fn(self, cfg):
-        key = (cfg, self.render_cfg)
+        rcfg = self._attack_render_cfg()
+        key = (cfg, rcfg)
         if key not in self._step_cache:
             self._step_cache[key] = self.jax.jit(
-                make_attack_step(self.bundle, self.render_cfg, cfg,
+                make_attack_step(self.bundle, rcfg, cfg,
                                  ray_sharding=self.ray_sharding)
             )
         return self._step_cache[key]
@@ -207,9 +272,10 @@ class AdvEvaluator:
         return self._finalize(state, src, cfg)
 
     def _attack_scan_fn(self, cfg, group):
-        key = (cfg, self.render_cfg, group)
+        rcfg = self._attack_render_cfg()
+        key = (cfg, rcfg, group)
         if key not in self._step_cache:
-            step = make_attack_step(self.bundle, self.render_cfg, cfg,
+            step = make_attack_step(self.bundle, rcfg, cfg,
                                     ray_sharding=self.ray_sharding)
 
             def scan(state, target, src, k):
@@ -237,6 +303,8 @@ class AdvEvaluator:
             use_glb_src=args.use_center_view, **self.dataset_kwargs
         )
         src = self._make_src(src_dataset[0])
+        # prime the SPG plan with the train split's target cameras included
+        self._attack_render_cfg(extra_datasets=(train_dataset,))
         render_poses = getattr(train_dataset, "render_poses_spiral", None)
         if render_poses is None:
             render_poses = getattr(train_dataset, "render_poses", None)
@@ -313,9 +381,10 @@ class AdvEvaluator:
         return self._finalize(state, src, cfg)
 
     def _universal_scan_fn(self, cfg, group):
-        key = (cfg, self.render_cfg, group, "universal")
+        rcfg = self._attack_render_cfg()
+        key = (cfg, rcfg, group, "universal")
         if key not in self._step_cache:
-            step = make_attack_step(self.bundle, self.render_cfg, cfg,
+            step = make_attack_step(self.bundle, rcfg, cfg,
                                     ray_sharding=self.ray_sharding)
 
             def scan(state, targets, src, keys):

@@ -126,6 +126,13 @@ def config_parser():
     # shard the ray axis over all visible devices (attack step + whole-frame
     # render); identical numerics to single-device, so on by default
     parser.add_argument("--shard_rays", type=str2bool, default=True)
+    # per-ray segment-patch gather for the attack's random-pixel ray batches
+    # (ops/spg.py): exact numerics (tests/test_spg.py, tests/test_attack.py);
+    # planned once per scene over every camera the attack may sample. Default
+    # off pending a hardware win measurement (BENCH_NOTES.md); auto-falls
+    # back to the per-tap gather for unseen-view / camera-pose attacks and
+    # datasets without target_cameras()
+    parser.add_argument("--attack_spg", type=str2bool, default=False)
     # view-specific attack iterations per device execution (lax.scan group):
     # amortizes host dispatch; 1 restores the reference's per-iter host loop
     parser.add_argument("--scan_group", type=int, default=25)

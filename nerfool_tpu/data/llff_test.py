@@ -97,6 +97,20 @@ class LLFFTestDataset(Dataset):
     def render_poses_spiral(self):
         return self.render_spiral_poses
 
+    def target_cameras(self):
+        """Every camera vector this dataset can emit (render targets plus
+        the train-split source candidates; LLFF images in a scene share
+        dimensions) + the union depth range — input for the attack-SPG
+        planner (ops/spg.plan_attack_specs)."""
+        h, w = _imread(self.render_rgb_files[0]).shape[:2]
+        cams = [make_camera(h, w, k, p)
+                for k, p in zip(self.render_intrinsics, self.render_poses)]
+        for ks, ps in zip(self.train_intrinsics, self.train_poses):
+            cams.extend(make_camera(h, w, k, p) for k, p in zip(ks, ps))
+        dr = np.asarray(self.render_depth_range, np.float64)
+        return np.stack(cams), np.array(
+            [dr[:, 0].min(), dr[:, 1].max()], dtype=np.float32)
+
     def __len__(self):
         n = len(self.render_rgb_files)
         return n * 100000 if self.mode == "train" else n

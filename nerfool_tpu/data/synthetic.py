@@ -82,6 +82,15 @@ class SyntheticDataset(Dataset):
         depth = np.where(hit, t, 8.0).reshape(h, w)
         return np.clip(rgb, 0, 1).astype(np.float32), depth.astype(np.float32)
 
+    def target_cameras(self):
+        """Every camera vector this dataset can emit (targets AND source
+        candidates share the pose set) + the union depth range — input for
+        the attack-SPG planner (ops/spg.plan_attack_specs)."""
+        cams = np.stack([
+            make_camera(self.h, self.w, self.intrinsics, p) for p in self.poses
+        ])
+        return cams, np.array([2.0, 8.0], dtype=np.float32)
+
     def __len__(self):
         n = len(self.i_render)
         return n * 100000 if self.mode == "train" else n

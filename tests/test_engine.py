@@ -247,3 +247,21 @@ def test_sweep_retarget_reuses_compiled_steps(tmp_path, small_kwargs):
     assert len(ev._step_cache) == n_compiled, (
         "retarget recompiled attack steps for identical shapes"
     )
+
+
+def test_view_specific_attack_spg(tmp_path, small_kwargs):
+    """--attack_spg plans a per-ray segment-patch gather over the dataset's
+    cameras and runs the view-specific attack end-to-end through it."""
+    from nerfool_tpu.attack.engine import AdvEvaluator
+
+    args = _engine_args(tmp_path, view_specific=True)
+    args.attack_spg = True
+    ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+    rcfg = ev._attack_render_cfg()
+    assert rcfg.spg_specs is not None  # planned, not fallen back
+    assert len(rcfg.spg_specs[0].groups) == 1  # uniform-K single view group
+    assert rcfg.spg_specs[0].groups[0][0] == tuple(
+        range(args.num_source_views))
+    out = str(tmp_path / "out_spg")
+    results = ev.evaluate(out_dir=out, verbose=False, max_views=1)
+    assert results[args.eval_dataset]["coarse_mean_psnr"] > 0
