@@ -144,6 +144,10 @@ def config_parser():
     # gnt-specific
     parser.add_argument("--netwidth", type=int, default=64)
     parser.add_argument("--trans_depth", type=int, default=4)
+    # TPU-only knob (no reference counterpart): 2 packs adjacent sample pairs
+    # into the channel axis for the GNT view-side tensors (exact; see
+    # models/gnt.py ViewAttention.fold)
+    parser.add_argument("--gnt_sample_fold", type=int, default=1)
     parser.add_argument("--single_net", type=str2bool, default=True)
     parser.add_argument("--ret_alpha", action="store_true")
 

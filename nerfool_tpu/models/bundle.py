@@ -80,6 +80,7 @@ def create_model(
     coarse_only: bool = False,
     single_net: bool = False,
     ret_alpha: bool = True,
+    gnt_sample_fold: int = 1,
     ckpt_path: Optional[str] = None,
     rng_key: Optional[jax.Array] = None,
     init_shapes=(4, 64, 64),
@@ -103,6 +104,7 @@ def create_model(
         # stack always has distinct coarse/fine heads
         if backbone == "gnt":
             single_net = getattr(args, "single_net", single_net)
+            gnt_sample_fold = getattr(args, "gnt_sample_fold", gnt_sample_fold)
         ckpt_path = getattr(args, "ckpt_path", ckpt_path) or ckpt_path
         feature_dtype = getattr(args, "feature_dtype", feature_dtype) or feature_dtype
 
@@ -128,6 +130,7 @@ def create_model(
         net_coarse = GNTAggregator(
             in_feat_ch=coarse_feat_dim, netwidth=netwidth,
             trans_depth=trans_depth, ret_alpha=ret_alpha,
+            sample_fold=gnt_sample_fold,
         )
         net_fine = (
             None
@@ -135,6 +138,7 @@ def create_model(
             else GNTAggregator(
                 in_feat_ch=fine_feat_dim, netwidth=netwidth,
                 trans_depth=trans_depth, ret_alpha=True,
+                sample_fold=gnt_sample_fold,
             )
         )
     else:

@@ -67,6 +67,18 @@ class _Kernel(nn.Module):
         return kern, bias
 
 
+def _blockdiag2(w):
+    """[din, dout] -> [2*din, 2*dout] block-diagonal duplicate of w."""
+    din, dout = w.shape
+    z = jnp.zeros((2 * din, 2 * dout), w.dtype)
+    return z.at[:din, :dout].set(w).at[din:, dout:].set(w)
+
+
+def _fold2(x):
+    """Fold adjacent sample pairs into the channel axis: [..., S, C] -> [..., S/2, 2C]."""
+    return x.reshape(x.shape[:-2] + (x.shape[-2] // 2, 2 * x.shape[-1]))
+
+
 class ViewAttention(nn.Module):
     """Subtraction-based attention over the source-view axis (Attention2D:55-89).
 
@@ -75,41 +87,80 @@ class ViewAttention(nn.Module):
     [V,R,S,D] operand produces both kp and v (full 128-lane output tile,
     one HBM pass over k instead of two). Mathematically exact; f32/bf16
     reassociation error only.
+
+    ``fold``: sample-folded big side — k/pos/mask arrive with adjacent sample
+    pairs packed into the channel axis ([V, R, S/2, 2D]) and every view-side
+    matmul uses a block-diagonal weight. All view-side ops are pointwise over
+    (s, c) or reduce over V only, so folding is exact; it halves matmul rows
+    and fills the otherwise 64->128 lane-padded VPU/MXU tiles.
     """
 
     dim: int
+    fold: bool = False
 
     @nn.compact
     def __call__(self, q, k, pos, mask=None):
         # views-first: q [R, S, D]; k [V, R, S, D]; pos [V, R, S, 4]; mask [V, R, S, 1]
-        qp = nn.Dense(self.dim, use_bias=False, name="q_fc")(q)
-        wk, _ = _Kernel(k.shape[-1], self.dim, use_bias=False, name="k_fc")()
-        wv, _ = _Kernel(self.dim, self.dim, use_bias=False, name="v_fc")()
-        wkv = jnp.concatenate([wk, wk @ wv], axis=-1).astype(k.dtype)
-        kv = k @ wkv
-        kp, v = kv[..., : self.dim], kv[..., self.dim :]
-        pos = nn.Dense(self.dim // 8, name="pos_fc0")(pos)
-        pos = nn.Dense(self.dim, name="pos_fc1")(nn.relu(pos))
+        # (folded: k [V, R, S/2, 2D]; pos [V, R, S/2, 8]; mask [V, R, S/2, 2D])
+        d = self.dim
+        wq, _ = _Kernel(d, d, use_bias=False, name="q_fc")()
+        wk, _ = _Kernel(d, d, use_bias=False, name="k_fc")()
+        wv, _ = _Kernel(d, d, use_bias=False, name="v_fc")()
+        wp0, bp0 = _Kernel(4, d // 8, name="pos_fc0")()
+        wp1, bp1 = _Kernel(d // 8, d, name="pos_fc1")()
+        wa0, ba0 = _Kernel(d, d // 8, name="attn_fc0")()
+        wa1, ba1 = _Kernel(d // 8, d, name="attn_fc1")()
+        wo, bo = _Kernel(d, d, name="out_fc")()
+
+        if not self.fold:
+            qp = q @ wq.astype(q.dtype)
+            wkv = jnp.concatenate([wk, wk @ wv], axis=-1).astype(k.dtype)
+            kv = k @ wkv
+            kp, v = kv[..., :d], kv[..., d:]
+            pos = pos @ wp0.astype(pos.dtype) + bp0.astype(pos.dtype)
+            pos = nn.relu(pos) @ wp1.astype(pos.dtype) + bp1.astype(pos.dtype)
+            attn = kp - qp[None] + pos
+            attn = attn @ wa0.astype(attn.dtype) + ba0.astype(attn.dtype)
+            attn = nn.relu(attn) @ wa1.astype(attn.dtype) + ba1.astype(attn.dtype)
+            if mask is not None:
+                attn = jnp.where(mask == 0, -1e9, attn)
+            attn = jax.nn.softmax(attn, axis=0)  # over views
+            x = jnp.sum((v + pos) * attn, axis=0)  # [R, S, D]
+            return x @ wo.astype(x.dtype) + bo.astype(x.dtype)
+
+        # folded path: block-diagonal weights, doubled biases
+        dt = k.dtype
+        qp = _fold2(q @ wq.astype(q.dtype))  # [R, S/2, 2D]
+        wkv2 = jnp.concatenate(
+            [_blockdiag2(wk), _blockdiag2(wk @ wv)], axis=-1
+        ).astype(dt)
+        kv = k @ wkv2
+        kp, v = kv[..., : 2 * d], kv[..., 2 * d :]
+        tile2 = lambda b: jnp.concatenate([b, b]).astype(dt)
+        pos = pos @ _blockdiag2(wp0).astype(dt) + tile2(bp0)
+        pos = nn.relu(pos) @ _blockdiag2(wp1).astype(dt) + tile2(bp1)
         attn = kp - qp[None] + pos
-        attn = nn.Dense(self.dim // 8, name="attn_fc0")(attn)
-        attn = nn.Dense(self.dim, name="attn_fc1")(nn.relu(attn))
+        attn = attn @ _blockdiag2(wa0).astype(dt) + tile2(ba0)
+        attn = nn.relu(attn) @ _blockdiag2(wa1).astype(dt) + tile2(ba1)
         if mask is not None:
             attn = jnp.where(mask == 0, -1e9, attn)
         attn = jax.nn.softmax(attn, axis=0)  # over views
-        x = jnp.sum((v + pos) * attn, axis=0)  # [R, S, D]
-        return nn.Dense(self.dim, name="out_fc")(x)
+        x = jnp.sum((v + pos) * attn, axis=0)  # [R, S/2, 2D]
+        x = x.reshape(x.shape[0], 2 * x.shape[1], d)  # unfold (small side)
+        return x @ wo.astype(x.dtype) + bo.astype(x.dtype)
 
 
 class ViewTransformer(nn.Module):
     """Pre-LN view-transformer block (Transformer2D:93-113)."""
 
     dim: int
+    fold: bool = False
 
     @nn.compact
     def __call__(self, q, k, pos, mask=None):
         residue = q
         x = TorchLayerNorm(name="attn_norm")(q)
-        x = ViewAttention(self.dim, name="attn")(x, k, pos, mask)
+        x = ViewAttention(self.dim, fold=self.fold, name="attn")(x, k, pos, mask)
         x = x + residue
         residue = x
         y = TorchLayerNorm(name="ff_norm")(x)
@@ -178,6 +229,11 @@ class GNTAggregator(nn.Module):
     trans_depth: int = 8
     posenc_freqs: int = 10
     ret_alpha: bool = True
+    # 2 = fold adjacent sample pairs into the channel axis for the view-side
+    # tensors (the 10x-bigger [V,R,S,*] operands): block-diagonal weights halve
+    # matmul rows and fill the 64->128 lane-padded tiles. Exact (see
+    # ViewAttention.fold); requires S even, silently off otherwise.
+    sample_fold: int = 1
 
     @nn.compact
     def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d):
@@ -202,13 +258,31 @@ class GNTAggregator(nn.Module):
         viewdirs = viewdirs.astype(pts.dtype)
         input_views = jnp.broadcast_to(viewdirs[:, None, :], input_pts.shape[:2] + (viewdirs.shape[-1],))
 
-        x = nn.Dense(self.netwidth, name="rgbfeat_fc0")(rgb_feat)
-        x = nn.Dense(self.netwidth, name="rgbfeat_fc1")(nn.relu(x))
-        q = jnp.max(x, axis=0)  # [R, S, D] max-pool over views
+        d = self.netwidth
+        fold = self.sample_fold == 2 and rgb_feat.shape[2] % 2 == 0
+        w0, b0 = _Kernel(rgb_feat.shape[-1], d, name="rgbfeat_fc0")()
+        w1, b1 = _Kernel(d, d, name="rgbfeat_fc1")()
+        dt = rgb_feat.dtype
+        if fold:
+            # fold ONCE at entry; x / ray_diff / mask stay folded for all
+            # blocks, q folds/unfolds per block on the 1x-size side
+            rf = _fold2(rgb_feat)
+            tile2 = lambda b: jnp.concatenate([b, b]).astype(dt)
+            x = rf @ _blockdiag2(w0).astype(dt) + tile2(b0)
+            x = nn.relu(x) @ _blockdiag2(w1).astype(dt) + tile2(b1)
+            q = jnp.max(x, axis=0)  # [R, S/2, 2D]
+            q = q.reshape(q.shape[0], 2 * q.shape[1], d)  # unfold
+            ray_diff = _fold2(ray_diff)
+            mask = _fold2(jnp.broadcast_to(mask, mask.shape[:-1] + (d,)))
+        else:
+            x = rgb_feat @ w0.astype(dt) + b0.astype(dt)
+            x = nn.relu(x) @ w1.astype(dt) + b1.astype(dt)
+            q = jnp.max(x, axis=0)  # [R, S, D] max-pool over views
 
         attn_out = None
         for i in range(self.trans_depth):
-            q = ViewTransformer(self.netwidth, name=f"view_trans_{i}")(q, x, ray_diff, mask)
+            q = ViewTransformer(self.netwidth, fold=fold,
+                                name=f"view_trans_{i}")(q, x, ray_diff, mask)
             if i % 2 == 0:
                 q = jnp.concatenate([q, input_pts, input_views], axis=-1)
                 q = nn.Dense(self.netwidth, name=f"q_fc_{i}_0")(q)

@@ -28,8 +28,15 @@ run ibrnet_bf16feat env BENCH_FEATURE_DTYPE=bfloat16 BENCH_ATTACK_ITERS=10 \
 # 3b. attack step with the per-ray segment-patch gather (SPG)
 run ibrnet_spg env BENCH_ATTACK_SPG=1 BENCH_ATTACK_ITERS=10 python bench.py
 
+# 2b. GNT-full with sample folding (view-side lane packing)
+run gnt_fold env BENCH_BACKBONE=gnt BENCH_NSAMPLES=192 BENCH_NIMPORTANCE=0 \
+    BENCH_GNT_FOLD=2 python bench.py
+
 # 4. dim-8 layout hypothesis micro-probe (GNT attention chain)
 run dim8 python scripts/probe_dim8.py
+
+# 4b. sample-fold micro-probe (folded vs unfolded view-attention chain)
+run sfold python scripts/probe_sfold.py
 
 # 5. GNT op profile (top self-time ops of the render chunk)
 run gnt_profile env BENCH_BACKBONE=gnt BENCH_NSAMPLES=192 BENCH_NIMPORTANCE=0 \
