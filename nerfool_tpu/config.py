@@ -133,6 +133,10 @@ def config_parser():
     # back to the per-tap gather for unseen-view / camera-pose attacks and
     # datasets without target_cameras()
     parser.add_argument("--attack_spg", type=str2bool, default=False)
+    # TPU-only knob (no reference counterpart): block segment-patch gather for
+    # whole-image eval renders — contiguous per-(block,view) patch fetches
+    # replace issue-rate-bound random-row gathers (ops/bspg.py)
+    parser.add_argument("--use_bspg", type=str2bool, default=True)
     # view-specific attack iterations per device execution (lax.scan group):
     # amortizes host dispatch; 1 restores the reference's per-iter host loop
     parser.add_argument("--scan_group", type=int, default=25)
