@@ -142,6 +142,7 @@ def test_pcgrad_runs(rng):
 
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not available")
+@pytest.mark.slow
 def test_gradient_parity_with_reference(rng):
     """d(loss)/d(delta) through feature net + renderer matches torch autograd."""
     import torch
@@ -247,6 +248,7 @@ def test_gradient_parity_with_reference(rng):
     assert sign_agree > 0.9, sign_agree
 
 
+@pytest.mark.slow
 def test_warp_losses_run(rng):
     """depth-consistency + camera-consistency terms compile and are finite."""
     bundle, render_cfg, cfg0, target, src = _attack_setup(rng)
@@ -272,6 +274,7 @@ def test_warp_losses_run(rng):
     assert np.isfinite(float(aux["depth_cons"])) and np.isfinite(float(aux["camera_cons"]))
 
 
+@pytest.mark.slow
 def test_purification_descends(rng):
     """Purification (defense) minimizes its objective and respects its eps-ball."""
     from nerfool_tpu.attack.purify import PurifyConfig, make_purify_step
@@ -302,6 +305,7 @@ def test_purification_descends(rng):
     assert losses[-1] < losses[0], losses  # defense descends
 
 
+@pytest.mark.slow
 def test_ds_rgb_depth_consistency_runs(rng):
     """ds_rgb variant: depth consistency rendered at half resolution."""
     import dataclasses
@@ -318,6 +322,7 @@ def test_ds_rgb_depth_consistency_runs(rng):
     assert np.isfinite(float(aux["loss"])) and "depth_cons" in aux
 
 
+@pytest.mark.slow
 def test_bf16_attack_gradient_direction(rng):
     """A bf16-render attack step must produce gradients aligned with the f32
     parity path (sign agreement is what PGD/Adam consume)."""
@@ -348,6 +353,7 @@ def test_bf16_attack_gradient_direction(rng):
     assert cos > 0.95, cos
 
 
+@pytest.mark.slow
 def test_bf16_feature_dtype_runs_and_matches_noise_floor(rng):
     """feature_dtype='bfloat16' (experimental speed knob) must run finite end
     to end.  Numerical parity with f32 is NOT asserted: a random-init ResUNet
@@ -393,6 +399,7 @@ def test_bf16_feature_dtype_runs_and_matches_noise_floor(rng):
     assert float(jnp.max(jnp.abs(state1["delta"]))) <= cfg.eps + 1e-6
 
 
+@pytest.mark.slow
 def test_attack_step_spg_matches_per_tap(rng):
     """The attack step with the per-ray segment-patch gather (spg_specs in
     the render config) produces the same loss and delta update as the

@@ -18,9 +18,9 @@ import sys
 import pytest
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(REFERENCE), reason="reference checkout not available"
-)
+)]
 
 SCRIPT = r"""
 import sys

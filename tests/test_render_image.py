@@ -1,6 +1,7 @@
 """Whole-image rendering: shape contract, chunk-size invariance, and
 multi-device ray sharding on the virtual 8-CPU mesh."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -78,6 +79,7 @@ def test_sharded_render_matches_single_device(rng):
     )
 
 
+@pytest.mark.slow
 def test_fine_tap_reuse_matches_default_path(rng):
     """reuse_fine_taps (unified feature table + fine-pass tap reuse) must be a
     pure optimization: identical renders and attack gradients.

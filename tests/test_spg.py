@@ -204,6 +204,7 @@ def test_plan_groups_covers_render(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_spg_render_rays_matches_per_tap(rng):
     """render_rays with spg_specs == the per-tap path: forward outputs AND
     the d(loss)/d(featmaps) gradient (the attack's delta-gradient carrier),
