@@ -122,6 +122,7 @@ def main():
     bundle = create_model(backbone=BACKBONE, rng_key=jax.random.PRNGKey(0),
                           trans_depth=8, single_net=True,
                           gnt_sample_fold=int(os.environ.get("BENCH_GNT_FOLD", "1")),
+                          ibrnet_sample_fold=int(os.environ.get("BENCH_IBR_FOLD", "1")),
                           feature_dtype=FEATURE_DTYPE, remat_features=REMAT)
     cfg = RenderConfig(
         n_samples=N_SAMPLES, n_importance=N_IMPORTANCE, det=True,

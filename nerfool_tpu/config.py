@@ -152,6 +152,7 @@ def config_parser():
     # into the channel axis for the GNT view-side tensors (exact; see
     # models/gnt.py ViewAttention.fold)
     parser.add_argument("--gnt_sample_fold", type=int, default=1)
+    parser.add_argument("--ibrnet_sample_fold", type=int, default=1)
     parser.add_argument("--single_net", type=str2bool, default=True)
     parser.add_argument("--ret_alpha", action="store_true")
 

@@ -81,6 +81,7 @@ def create_model(
     single_net: bool = False,
     ret_alpha: bool = True,
     gnt_sample_fold: int = 1,
+    ibrnet_sample_fold: int = 1,
     ckpt_path: Optional[str] = None,
     rng_key: Optional[jax.Array] = None,
     init_shapes=(4, 64, 64),
@@ -105,6 +106,9 @@ def create_model(
         if backbone == "gnt":
             single_net = getattr(args, "single_net", single_net)
             gnt_sample_fold = getattr(args, "gnt_sample_fold", gnt_sample_fold)
+        else:
+            ibrnet_sample_fold = getattr(args, "ibrnet_sample_fold",
+                                         ibrnet_sample_fold)
         ckpt_path = getattr(args, "ckpt_path", ckpt_path) or ckpt_path
         feature_dtype = getattr(args, "feature_dtype", feature_dtype) or feature_dtype
 
@@ -117,13 +121,15 @@ def create_model(
     )
     if backbone == "ibrnet":
         net_coarse = IBRNetAggregator(
-            in_feat_ch=coarse_feat_dim, anti_alias_pooling=anti_alias_pooling
+            in_feat_ch=coarse_feat_dim, anti_alias_pooling=anti_alias_pooling,
+            sample_fold=ibrnet_sample_fold,
         )
         net_fine = (
             None
             if coarse_only
             else IBRNetAggregator(
-                in_feat_ch=fine_feat_dim, anti_alias_pooling=anti_alias_pooling
+                in_feat_ch=fine_feat_dim, anti_alias_pooling=anti_alias_pooling,
+                sample_fold=ibrnet_sample_fold,
             )
         )
     elif backbone == "gnt":

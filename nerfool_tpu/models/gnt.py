@@ -17,7 +17,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from nerfool_tpu.models.layers import TorchLayerNorm
+from nerfool_tpu.models.layers import (
+    DenseParams as _Kernel,
+    TorchLayerNorm,
+    blockdiag2 as _blockdiag2,
+    fold2 as _fold2,
+)
 
 
 def nerf_embed(x, num_freqs: int = 10, max_freq_log2: int = 9):
@@ -47,36 +52,6 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         x = nn.relu(nn.Dense(self.hid_dim, name="fc1")(x))
         return nn.Dense(self.out_dim, name="fc2")(x)
-
-
-class _Kernel(nn.Module):
-    """Declares an nn.Dense-shaped param subtree without applying it — the
-    fused-matmul call sites below combine several projections into one MXU
-    pass while keeping the param tree (and the .pth importer) identical."""
-
-    din: int
-    dout: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self):
-        kern = self.param("kernel", nn.initializers.lecun_normal(),
-                          (self.din, self.dout))
-        bias = (self.param("bias", nn.initializers.zeros, (self.dout,))
-                if self.use_bias else None)
-        return kern, bias
-
-
-def _blockdiag2(w):
-    """[din, dout] -> [2*din, 2*dout] block-diagonal duplicate of w."""
-    din, dout = w.shape
-    z = jnp.zeros((2 * din, 2 * dout), w.dtype)
-    return z.at[:din, :dout].set(w).at[din:, dout:].set(w)
-
-
-def _fold2(x):
-    """Fold adjacent sample pairs into the channel axis: [..., S, C] -> [..., S/2, 2C]."""
-    return x.reshape(x.shape[:-2] + (x.shape[-2] // 2, 2 * x.shape[-1]))
 
 
 class ViewAttention(nn.Module):

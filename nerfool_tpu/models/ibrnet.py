@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerfool_tpu.models.layers import MLP, TorchLayerNorm
+from nerfool_tpu.models.layers import MLP, TorchLayerNorm, fold2, fold_cat, unfold2
 
 
 def sinusoid_pos_encoding(n_samples: int, d_hid: int, dtype=jnp.float32):
@@ -76,6 +76,12 @@ class MultiHeadAttention(nn.Module):
 class IBRNetAggregator(nn.Module):
     in_feat_ch: int = 32
     anti_alias_pooling: bool = True
+    # 2 = fold adjacent sample pairs into the channel axis for the view-side
+    # tensors: block-diagonal weights halve matmul rows and fill the
+    # lane-padded sub-128-channel tiles. Exact (every view-side op here is
+    # pointwise over (s, c) or reduces over V); requires S even, silently off
+    # otherwise. The pooled geometry path (posenc + ray attention) unfolds.
+    sample_fold: int = 1
 
     @nn.compact
     def __call__(self, rgb_feat, ray_diff, mask):
@@ -87,6 +93,8 @@ class IBRNetAggregator(nn.Module):
         :param mask: [V, R, S, 1] float validity
         :return: raw [R, S, 4] (rgb, sigma)
         """
+        if self.sample_fold == 2 and rgb_feat.shape[2] % 2 == 0:
+            return self._folded(rgb_feat, ray_diff, mask)
         num_views = rgb_feat.shape[0]
         direction_feat = MLP([16, self.in_feat_ch + 3], act="elu", final_act="elu",
                              name="ray_dir_fc")(ray_diff)
@@ -137,4 +145,75 @@ class IBRNetAggregator(nn.Module):
         x = jnp.where(mask == 0, -1e9, x)
         blending_weights = jax.nn.softmax(x, axis=0)
         rgb_out = jnp.sum(rgb_in * blending_weights, axis=0)  # [R, S, 3]
+        return jnp.concatenate([rgb_out, sigma_out], axis=-1)
+
+    def _folded(self, rgb_feat, ray_diff, mask):
+        """sample_fold=2 path: all view-side [V,R,S,*] tensors run with
+        adjacent sample pairs packed into the channel axis ([V,R,S/2,2C],
+        block-diagonal weights). Every view-side op is pointwise over
+        (sample, channel) or reduces over V, so this is numerically the same
+        computation with half the rows and filled 128-lane tiles. Only the
+        pooled geometry path (posenc + ray attention over the sample axis)
+        unfolds."""
+        num_views, n_rays, n_samples, n_ch = rgb_feat.shape
+        rf = fold2(rgb_feat)      # [V,R,S/2,2C]
+        rd = fold2(ray_diff)      # [V,R,S/2,8]
+        mk = fold2(mask)          # [V,R,S/2,2]
+        direction_feat = MLP([16, self.in_feat_ch + 3], act="elu", final_act="elu",
+                             name="ray_dir_fc", fold=2)(rd)
+        x = rf + direction_feat
+
+        if self.anti_alias_pooling:
+            s = self.param("s", nn.initializers.constant(0.2), ())
+            dot_prod = rd.reshape(rd.shape[:-1] + (2, 4))[..., 3]  # [V,R,S/2,2]
+            exp_dot = jnp.exp(jnp.abs(s) * (dot_prod - 1))
+            weight = (exp_dot - jnp.min(exp_dot, axis=0, keepdims=True)) * mk
+            weight = weight / (jnp.sum(weight, axis=0, keepdims=True) + 1e-8)
+        else:
+            weight = mk / (jnp.sum(mk, axis=0, keepdims=True) + 1e-8)
+        # weight is folded with c=1 ([V,R,S/2,2]); jnp.repeat on the channel
+        # axis is the folded equivalent of the [V,R,S,1] broadcast
+        w_c = jnp.repeat(weight, n_ch, axis=-1)
+        mean = jnp.sum(x * w_c, axis=0, keepdims=True)
+        var = jnp.sum(w_c * (x - mean) ** 2, axis=0, keepdims=True)
+        globalfeat = fold_cat([mean, var])  # [1,R,S/2,4C]
+        x = fold_cat(
+            [jnp.broadcast_to(globalfeat, (num_views,) + globalfeat.shape[1:]), x])
+        x = MLP([64, 32], act="elu", final_act="elu", name="base_fc", fold=2)(x)
+
+        x_vis = MLP([32, 33], act="elu", final_act="elu", name="vis_fc",
+                    fold=2)(x * jnp.repeat(weight, 32, axis=-1))
+        xv = x_vis.reshape(x_vis.shape[:-1] + (2, 33))
+        x_res = xv[..., :32].reshape(x.shape)
+        vis = jax.nn.sigmoid(xv[..., 32]) * mk  # [V,R,S/2,2]
+        x = x + x_res
+        vis = MLP([32, 1], act="elu", final_act="sigmoid", name="vis_fc2",
+                  fold=2)(x * jnp.repeat(vis, 32, axis=-1)) * mk
+        weight = vis / (jnp.sum(vis, axis=0, keepdims=True) + 1e-8)
+
+        w32 = jnp.repeat(weight, 32, axis=-1)
+        mean = jnp.sum(x * w32, axis=0, keepdims=True)
+        var = jnp.sum(w32 * (x - mean) ** 2, axis=0, keepdims=True)
+        globalfeat = jnp.concatenate(
+            [unfold2(mean.squeeze(0), 32), unfold2(var.squeeze(0), 32),
+             unfold2(jnp.mean(weight, axis=0), 1)], axis=-1)  # [R,S,65]
+        globalfeat = MLP([64, 16], act="elu", final_act="elu", name="geometry_fc")(globalfeat)
+        num_valid_obs = unfold2(jnp.sum(mk, axis=0), 1)  # [R,S,1]
+        globalfeat = globalfeat + sinusoid_pos_encoding(
+            globalfeat.shape[1], 16, dtype=globalfeat.dtype
+        )[None]
+        attn_mask = (num_valid_obs > 1).astype(globalfeat.dtype)
+        globalfeat, _ = MultiHeadAttention(4, 16, 4, 4, name="ray_attention")(
+            globalfeat, globalfeat, globalfeat, mask=attn_mask
+        )
+        sigma = MLP([16, 1], act="elu", final_act="relu", name="out_geometry_fc")(globalfeat)
+        sigma_out = jnp.where(num_valid_obs < 1, 0.0, sigma)  # [R, S, 1]
+
+        x = fold_cat([x, vis, rd])
+        x = MLP([16, 8, 1], act="elu", name="rgb_fc", fold=2)(x)  # [V,R,S/2,2]
+        x = jnp.where(mk == 0, -1e9, x)
+        blending_weights = jax.nn.softmax(x, axis=0)  # folded c=1
+        rgb_in = rf.reshape(rf.shape[:-1] + (2, n_ch))[..., :3]  # [V,R,S/2,2,3]
+        rgb_out = jnp.sum(rgb_in * blending_weights[..., None], axis=0)
+        rgb_out = rgb_out.reshape(n_rays, n_samples, 3)
         return jnp.concatenate([rgb_out, sigma_out], axis=-1)

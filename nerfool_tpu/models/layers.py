@@ -103,23 +103,94 @@ def upsample_bilinear_aligned(x, scale: int):
     return left * (1 - tx)[None, None, :, None] + right * tx[None, None, :, None]
 
 
+class DenseParams(nn.Module):
+    """Declares an nn.Dense-shaped param subtree without applying it — fused /
+    block-diagonal call sites combine projections while keeping the param tree
+    (and the .pth importer) identical to a plain Dense."""
+
+    din: int
+    dout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.din, self.dout))
+        bias = (self.param("bias", nn.initializers.zeros, (self.dout,))
+                if self.use_bias else None)
+        return kern, bias
+
+
+def blockdiag2(w):
+    """[din, dout] -> [2*din, 2*dout] block-diagonal duplicate of w."""
+    din, dout = w.shape
+    z = jnp.zeros((2 * din, 2 * dout), w.dtype)
+    return z.at[:din, :dout].set(w).at[din:, dout:].set(w)
+
+
+def fold2(x):
+    """Fold adjacent sample pairs into the channel axis: [..., S, C] -> [..., S/2, 2C].
+
+    On TPU a 64-or-less-channel minor dim pads to 128 lanes; folding fills the
+    lanes and halves the rows of every pointwise op and matmul. Exact for any
+    computation that is pointwise over (sample, channel) or reduces over
+    leading axes only.
+    """
+    return x.reshape(x.shape[:-2] + (x.shape[-2] // 2, 2 * x.shape[-1]))
+
+
+def unfold2(x, channels: int):
+    """Inverse of :func:`fold2`: [..., S/2, 2C] -> [..., S, C]."""
+    return x.reshape(x.shape[:-2] + (2 * x.shape[-2], channels))
+
+
+def fold_cat(args):
+    """Channel-concat of sample-folded tensors, preserving the fold layout.
+
+    Each arg is folded [..., S/2, 2*Ci] (per-sample channel blocks
+    [s0-block, s1-block]); a plain concat would interleave blocks of
+    different tensors. Reshape each to [..., S/2, 2, Ci], concat on the
+    true channel axis, and flatten back.
+    """
+    parts = [a.reshape(a.shape[:-1] + (2, a.shape[-1] // 2)) for a in args]
+    y = jnp.concatenate(parts, axis=-1)
+    return y.reshape(y.shape[:-2] + (2 * y.shape[-1],))
+
+
 class MLP(nn.Module):
     """Stack of Dense layers with an activation between (and optionally after).
 
     Mirrors the reference's nn.Sequential(Linear, act, Linear, act, ...) blocks;
     layer names are ``fc{i}`` so torch Sequential indices map mechanically.
+
+    ``fold=2`` applies the stack to sample-folded inputs ([..., 2*din]) with
+    block-diagonal weights — numerically identical per segment, half the rows.
     """
 
     features: Sequence[int]
     act: str = "elu"  # 'elu' | 'relu'
     final_act: str | None = None  # None | 'elu' | 'relu' | 'sigmoid'
     use_bias: bool = True
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
         import jax.nn as jnn
 
         acts = {"elu": jnn.elu, "relu": jnn.relu, "sigmoid": jnn.sigmoid, None: lambda v: v}
+        if self.fold == 2:
+            din = x.shape[-1] // 2
+            dt = x.dtype
+            for i, f in enumerate(self.features):
+                w, b = DenseParams(din, f, use_bias=self.use_bias,
+                                   name=f"fc{i}")()
+                x = x @ blockdiag2(w).astype(dt)
+                if b is not None:
+                    x = x + jnp.concatenate([b, b]).astype(dt)
+                if i < len(self.features) - 1:
+                    x = acts[self.act](x)
+                din = f
+            return acts[self.final_act](x)
         for i, f in enumerate(self.features):
             x = nn.Dense(f, use_bias=self.use_bias, name=f"fc{i}")(x)
             if i < len(self.features) - 1:

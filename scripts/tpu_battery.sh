@@ -32,6 +32,9 @@ run ibrnet_spg env BENCH_ATTACK_SPG=1 BENCH_ATTACK_ITERS=10 python bench.py
 run gnt_fold env BENCH_BACKBONE=gnt BENCH_NSAMPLES=192 BENCH_NIMPORTANCE=0 \
     BENCH_GNT_FOLD=2 python bench.py
 
+# 1b. flagship IBRNet with sample folding
+run ibrnet_fold env BENCH_IBR_FOLD=2 BENCH_ATTACK_ITERS=10 python bench.py
+
 # 4. dim-8 layout hypothesis micro-probe (GNT attention chain)
 run dim8 python scripts/probe_dim8.py
 
