@@ -120,13 +120,15 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
     bundle = create_model(backbone=BACKBONE, rng_key=jax.random.PRNGKey(0),
-                          trans_depth=8, single_net=True,
+                          trans_depth=8, single_net=BACKBONE == "gnt",
                           gnt_sample_fold=int(os.environ.get("BENCH_GNT_FOLD", "1")),
                           ibrnet_sample_fold=int(os.environ.get("BENCH_IBR_FOLD", "1")),
                           feature_dtype=FEATURE_DTYPE, remat_features=REMAT)
     cfg = RenderConfig(
+        # both flagship configs sample in inverse depth (inv_uniform=True in
+        # configs/ibrnet/eval_llff.txt AND configs/gnt/gnt_full.txt)
         n_samples=N_SAMPLES, n_importance=N_IMPORTANCE, det=True,
-        inv_uniform=BACKBONE == "ibrnet", backbone=BACKBONE,
+        inv_uniform=True, backbone=BACKBONE,
         single_net=BACKBONE == "gnt", ret_alpha=BACKBONE == "gnt",
         stop_camera_grad=BACKBONE == "ibrnet", compute_dtype=DTYPE,
         reuse_fine_taps=REUSE_TAPS,
