@@ -100,7 +100,35 @@ def build_scene():
     return cams, depth_range
 
 
+def _probe_backend(timeout_s: int) -> bool:
+    """Device init in a SUBPROCESS with a timeout: a down TPU relay makes
+    jax.devices() hang indefinitely, which would hang the whole benchmark
+    (and its driver). Probing out-of-process keeps this process clean."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "from nerfool_tpu.utils.platform import apply_platform_env; "
+             "apply_platform_env(); import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    probe_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    if probe_s > 0 and not _probe_backend(probe_s):
+        log(f"FATAL: jax backend init did not complete within {probe_s}s "
+            "(TPU relay down?) — aborting instead of hanging")
+        sys.exit(2)
+
+    from nerfool_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     import jax
     import jax.numpy as jnp
 

@@ -475,6 +475,23 @@ def gather_block_patches(table, slots_groups, spec: BSPGSpec):
     return out
 
 
+def _select_group_xla(g, slots, ixg, iyg, spec: BSPGSpec, ks, c, dt):
+    """Plain-XLA one-hot selection for one view group (the Pallas kernels'
+    numerical reference, and the fallback when their grid constraints —
+    (views*blocks) % GB, sample-chunk divisibility — don't hold, e.g. on the
+    tiny scenes of smoke tests)."""
+    p = spec.p
+    b = g.shape[1]
+    pid, wy, wx = _sample_weights(ixg, iyg, spec.as_spg(), dt)
+    eq = (pid[..., None] == slots[:, :, None, :]).astype(dt)
+    w1 = (eq[..., :, None] * wy[..., None, :]).reshape(
+        eq.shape[:3] + (ks * (p + 1),))
+    gk = g.reshape(g.shape[0], b, ks * (p + 1), (p + 1) * c)
+    z = jnp.einsum("vbsk,vbkc->vbsc", w1, gk)
+    z = z.reshape(z.shape[:3] + (p + 1, c))
+    return jnp.einsum("vbsp,vbspc->vbsc", wx, z)
+
+
 def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,
                          use_pallas=False):
     """Exact bilinear taps for every (ray-in-block, sample) from block patches.
@@ -489,6 +506,8 @@ def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,
     ix = (gx + 1.0) * 0.5 * (spec.w - 1)
     iy = (gy + 1.0) * 0.5 * (spec.h - 1)
 
+    from nerfool_tpu.ops.bspg_kernel import GB
+
     outs = []
     for (views, k_path), slots, g in zip(spec.groups, slots_groups, g_groups):
         vi = jnp.asarray(views)
@@ -496,7 +515,7 @@ def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,
         # per-sample ingredients on the flattened (block-ray-sample) axis
         ixg = ix[vi].reshape(len(views), b, n * s)
         iyg = iy[vi].reshape(len(views), b, n * s)
-        if use_pallas:
+        if use_pallas and (len(views) * b) % GB == 0:
             from nerfool_tpu.ops.spg import _sample_ingredients
             from nerfool_tpu.ops.bspg_kernel import (
                 select_block_pallas_ingredients,
@@ -521,14 +540,7 @@ def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,
                 )
             out = out.astype(dt)
         else:
-            pid, wy, wx = _sample_weights(ixg, iyg, spec.as_spg(), dt)
-            eq = (pid[..., None] == slots[:, :, None, :]).astype(dt)
-            w1 = (eq[..., :, None] * wy[..., None, :]).reshape(
-                eq.shape[:3] + (ks * (p + 1),))
-            gk = g.reshape(g.shape[0], b, ks * (p + 1), (p + 1) * c)
-            z = jnp.einsum("vbsk,vbkc->vbsc", w1, gk)
-            z = z.reshape(z.shape[:3] + (p + 1, c))
-            out = jnp.einsum("vbsp,vbspc->vbsc", wx, z)
+            out = _select_group_xla(g, slots, ixg, iyg, spec, ks, c, dt)
         outs.append(out.reshape(len(views), b, n, s, c))
 
     out = jnp.concatenate(outs, axis=0)
@@ -683,6 +695,13 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
             debug.append((kw, ks_pad, sblk))
 
         nsb = ns // sblk if sblk else 0
+        if n_rv % GB:
+            # grid constraint violated (tiny smoke scenes): XLA selection
+            ixg = ix[vi].reshape(vg, b, ns)
+            iyg = iy[vi].reshape(vg, b, ns)
+            out = _select_group_xla(g, slots, ixg, iyg, spec, ks, c, dt)
+            outs.append(out.reshape(vg, b, n, s, c))
+            continue
         if kw >= ks_pad or not sblk or nsb % GB:
             # no window benefit: full-width kernels on ray-major ingredients
             ixg = ix[vi].reshape(vg, b, ns)

@@ -340,6 +340,23 @@ def test_bspg_windowed_plan_bound_matches(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_bspg_windowed_gb_fallback(rng):
+    """Shapes violating the Pallas grid constraint (views*blocks % GB != 0 —
+    tiny smoke scenes) take the plain-XLA fallback inside BOTH selectors
+    instead of tripping kernel asserts, and still select exactly."""
+    from nerfool_tpu.ops.bspg_kernel import GB
+
+    spec, g, slots, starts, gxb, gyb, ref, c = _setup_win(rng, c=32, b_take=3)
+    assert all(len(v) * 3 % GB for v, _ in spec.groups), spec.groups
+    out = bspg.select_block_samples_win(g, slots, starts, gxb, gyb, spec, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    out2 = bspg.select_block_samples(g, slots, gxb, gyb, spec, c,
+                                     use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_bspg_sharded_render_matches_single_device(rng):
     """The flagship path composition: BSPG whole-image render with the ray
     axis sharded over the 8-device virtual mesh == single-device (GSPMD
