@@ -53,7 +53,12 @@ class AttackConfig:
     depth_diff_loss: float = 0.0
     depth_smooth_loss: float = 0.0
     depth_consistency_loss: float = 0.0  # Sin-NeRF-style src->tar depth warp
-    ds_rgb: bool = False  # depth-consistency at half (native depth) resolution
+    ds_rgb: bool = False  # depth-consistency at reduced (native depth) resolution
+    # consistency-render scale under ds_rgb. The reference's
+    # RaySamplerSingleImage takes a general resize_factor (sample_ray.py:78-83,
+    # rescaling H/W, intrinsics and rgb); its evaluators instantiate it with
+    # 0.5 (eval_adv.py:354,397) — the default here.
+    resize_factor: float = 0.5
     camera_consistency_loss: float = 0.0  # bidirectional rgb/depth warps
     cam_src2tar: float = 0.0
     cam_tar2src: float = 0.0
@@ -98,6 +103,15 @@ class AttackConfig:
         if self.camera_consistency_loss > 0:
             names.append("camera_cons")
         return names
+
+
+def nearest_resize_indices(n_out, n_in, rf):
+    """Row map of torch's F.interpolate(scale_factor=rf, mode='nearest') —
+    the resize the reference applies to rgb under a general resize_factor
+    (sample_ray.py:83, eval_adv.py:399). scale_factor-based nearest reads
+    input index floor(i / rf) (NOT the floor(i * n_in/n_out) a size-based
+    call would use — they differ at e.g. rf=0.75)."""
+    return jnp.minimum((jnp.arange(n_out) / rf).astype(jnp.int32), n_in - 1)
 
 
 def select_ray_indices(key, cfg: AttackConfig):
@@ -305,10 +319,12 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
             tar_cam = target["camera"]
 
             if cfg.ds_rgb:
-                # half-res target camera: hw and intrinsics scaled by 0.5
-                hh, ww = cfg.h // 2, cfg.w // 2
+                # reduced-res target camera: hw and intrinsics scaled by
+                # resize_factor (reference sample_ray.py:78-83)
+                rf = cfg.resize_factor
+                hh, ww = int(cfg.h * rf), int(cfg.w * rf)
                 intr = tar_cam[2:18].reshape(4, 4)
-                intr = intr.at[:2, :3].multiply(0.5)
+                intr = intr.at[:2, :3].multiply(rf)
                 tar_hw = jnp.concatenate(
                     [jnp.array([hh, ww], tar_cam.dtype), intr.reshape(-1),
                      tar_cam[18:34]]
@@ -338,9 +354,12 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
 
             if cfg.ds_rgb:
                 # nearest-downsample to depth resolution, exactly the
-                # reference's F.interpolate(scale_factor=0.5) default-nearest
-                # (eval_adv.py:397-399): src pixel = floor(i / 0.5) = 2i
-                rgb_ref = src_rgbs[src_id][::2, ::2]
+                # reference's F.interpolate(scale_factor=rf) default-nearest
+                # (eval_adv.py:397-399): out pixel i reads in pixel
+                # floor(i * in/out) (= 2i at rf=0.5)
+                full = src_rgbs[src_id]
+                rgb_ref = full[nearest_resize_indices(hh, full.shape[0], rf)][
+                    :, nearest_resize_indices(ww, full.shape[1], rf)]
             else:
                 rgb_ref = src_rgbs[src_id]
             rgb_ref = rgb_ref[: src["depths"].shape[1], : src["depths"].shape[2]]
@@ -348,8 +367,12 @@ def make_attack_step(bundle, render_cfg: RenderConfig, cfg: AttackConfig,
                 sel_used,
                 rgb_ref,
                 src["depths"][src_id],
-                src_cam[2:18].reshape(4, 4)[:3, :3] * (0.5 if cfg.ds_rgb else 1.0)
-                + (jnp.diag(jnp.array([0.0, 0.0, 0.5])) if cfg.ds_rgb else 0.0),
+                # ds_rgb scales the ref intrinsics' first two rows by
+                # resize_factor (eval_adv.py:397-398); [2,2] stays 1
+                src_cam[2:18].reshape(4, 4)[:3, :3]
+                * (cfg.resize_factor if cfg.ds_rgb else 1.0)
+                + (jnp.diag(jnp.array([0.0, 0.0, 1.0 - cfg.resize_factor]))
+                   if cfg.ds_rgb else 0.0),
                 src_cam[18:34].reshape(4, 4),
                 tar_cam_used[2:18].reshape(4, 4)[:3, :3],
                 tar_cam_used[18:34].reshape(4, 4),

@@ -48,6 +48,7 @@ def build_attack_config(args, h, w):
         depth_smooth_loss=args.depth_smooth_loss,
         depth_consistency_loss=args.depth_consistency_loss,
         ds_rgb=getattr(args, "ds_rgb", False),
+        resize_factor=getattr(args, "resize_factor", 0.5),
         camera_consistency_loss=args.camera_consistency_loss,
         cam_src2tar=args.cam_src2tar, cam_tar2src=args.cam_tar2src,
         cam_depth=args.cam_depth,

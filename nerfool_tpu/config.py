@@ -206,6 +206,10 @@ def config_parser():
     parser.add_argument("--patch_size", type=int, default=8)
     parser.add_argument("--depth_consistency_loss", type=float, default=0)
     parser.add_argument("--ds_rgb", action="store_true")
+    # general consistency-render scale under --ds_rgb; the reference's
+    # RaySamplerSingleImage(resize_factor=...) (sample_ray.py:78-83) is
+    # instantiated with 0.5 by its evaluators (eval_adv.py:354)
+    parser.add_argument("--resize_factor", type=float, default=0.5)
     parser.add_argument("--depth_diff_loss", type=float, default=0)
     parser.add_argument("--use_patch_sampling", action="store_true")
     parser.add_argument("--gt_depth_path", type=str, default="")

@@ -322,6 +322,42 @@ def test_ds_rgb_depth_consistency_runs(rng):
     assert np.isfinite(float(aux["loss"])) and "depth_cons" in aux
 
 
+def test_nearest_resize_indices_match_torch():
+    """The general resize_factor downsample reads the same source pixels as
+    the reference's F.interpolate(mode='nearest') (sample_ray.py:83)."""
+    import torch
+    import torch.nn.functional as F
+    from nerfool_tpu.attack.attack import nearest_resize_indices
+
+    x = torch.arange(48, dtype=torch.float32).reshape(1, 1, 6, 8)
+    for rf in (0.5, 0.25, 0.75):
+        ref = F.interpolate(x, scale_factor=rf)[0, 0].numpy()
+        hh, ww = int(6 * rf), int(8 * rf)
+        ri = np.asarray(nearest_resize_indices(hh, 6, rf))
+        ci = np.asarray(nearest_resize_indices(ww, 8, rf))
+        ours = x[0, 0].numpy()[ri][:, ci]
+        np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.slow
+def test_ds_rgb_resize_factor_quarter_runs(rng):
+    """ds_rgb with a non-default resize_factor (0.25): the consistency render
+    and warp run at quarter resolution against quarter-res depths."""
+    import dataclasses
+    bundle, render_cfg, cfg0, target, src = _attack_setup(rng)
+    cfg = dataclasses.replace(cfg0, depth_consistency_loss=0.5, ds_rgb=True,
+                              resize_factor=0.25, n_rand=16,
+                              use_adam=True, adam_lr=1e-2)
+    v = src["rgbs"].shape[0]
+    src = dict(src, depths=jnp.asarray(
+        (np.random.RandomState(0).rand(v, H // 4, W // 4) * 2 + 3)
+        .astype(np.float32)))
+    step = jax.jit(make_attack_step(bundle, render_cfg, cfg))
+    state = init_attack_state(jax.random.PRNGKey(1), cfg, src["rgbs"])
+    state, aux = step(state, target, src, jax.random.PRNGKey(7))
+    assert np.isfinite(float(aux["loss"])) and "depth_cons" in aux
+
+
 @pytest.mark.slow
 def test_bf16_attack_gradient_direction(rng):
     """A bf16-render attack step must produce gradients aligned with the f32
