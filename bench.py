@@ -40,6 +40,7 @@ REUSE_TAPS = os.environ.get("BENCH_REUSE_TAPS", "1") == "1"  # fine-pass tap reu
 SCENE = os.environ.get("BENCH_SCENE", "llff")  # llff (nearest-view rig) | arc
 USE_BSPG = os.environ.get("BENCH_BSPG", "1") == "1"  # block segment-patch gather
 BSPG_PALLAS = os.environ.get("BENCH_BSPG_PALLAS", "1") == "1"  # Pallas selection
+BSPG_BLOCK = int(os.environ.get("BENCH_BSPG_BLOCK", "8"))  # pixel block edge
 
 
 def log(*a):
@@ -185,7 +186,7 @@ def main():
 
         specs = plan_render_specs(
             target_cam[None], src_cams, depth_range.reshape(-1),
-            (H, W), feats[0].shape[1:3], block=(8, 8),
+            (H, W), feats[0].shape[1:3], block=(BSPG_BLOCK, BSPG_BLOCK),
             n_samples=N_SAMPLES, n_importance=N_IMPORTANCE,
             inv_uniform=cfg.inv_uniform,
         )

@@ -35,6 +35,14 @@ run gnt_fold env BENCH_BACKBONE=gnt BENCH_NSAMPLES=192 BENCH_NIMPORTANCE=0 \
 # 1b. flagship IBRNet with sample folding
 run ibrnet_fold env BENCH_IBR_FOLD=2 BENCH_ATTACK_ITERS=10 python bench.py
 
+# 1c. flagship IBRNet with 16x16 BSPG blocks (half the patch chains per
+# view; selection work per block grows — measure which side wins)
+run ibrnet_blk16 env BENCH_BSPG_BLOCK=16 BENCH_ATTACK_ITERS=10 python bench.py
+
+# 2c. GNT-full with 16x16 BSPG blocks
+run gnt_blk16 env BENCH_BACKBONE=gnt BENCH_NSAMPLES=192 BENCH_NIMPORTANCE=0 \
+    BENCH_BSPG_BLOCK=16 python bench.py
+
 # 4. dim-8 layout hypothesis micro-probe (GNT attention chain)
 run dim8 python scripts/probe_dim8.py
 

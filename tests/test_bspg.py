@@ -27,7 +27,7 @@ def _block_rays(rays_o, rays_d, h, w, bh, bw):
     return blk(rays_o), blk(rays_d)
 
 
-def _setup(rng, n_src=4, n_samples=12, images=None, scale=1):
+def _setup(rng, n_src=4, n_samples=12, images=None, scale=1, block=BLOCK):
     target_cam, src_rgbs, src_cams, _, depth_range = llff_rig_scene(
         rng, n_src=n_src, h=H, w=W
     )
@@ -42,15 +42,15 @@ def _setup(rng, n_src=4, n_samples=12, images=None, scale=1):
     pts, z_vals = sample_along_camera_ray(
         rays_o, rays_d, jnp.asarray(depth_range), n_samples, det=True
     )
-    bh, bw = BLOCK
+    bh, bw = block
     ro_b, rd_b = _block_rays(np.asarray(rays_o), np.asarray(rays_d), H, W, bh, bw)
     b = ro_b.shape[0]
 
     groups, r_max = bspg.plan_block_groups(
         target_cam[None], src_cams, depth_range.reshape(-1), (hs, ws),
-        p=12, block=BLOCK,
+        p=12, block=block,
     )
-    spec = bspg.make_block_spec(groups, 12, (hs, ws), (H, W), block=BLOCK)
+    spec = bspg.make_block_spec(groups, 12, (hs, ws), (H, W), block=block)
 
     # corner rays of each block: indices 0, bw-1, (bh-1)*bw, bh*bw-1
     cidx = np.array([0, bw - 1, (bh - 1) * bw, bh * bw - 1])
@@ -96,6 +96,27 @@ def test_bspg_matches_per_tap(rng, scale):
     gyb = _to_blocks(gy, H, W, *BLOCK, s)
     out = bspg.select_block_samples(g, slots, gxb, gyb, spec, 3)
     ref_b = _to_blocks(ref.reshape(ref.shape[0], -1), H, W, *BLOCK,
+                       s * 3).reshape(out.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bspg_block16_matches_per_tap(rng):
+    """16x16 pixel blocks (the BENCH_BSPG_BLOCK=16 bench variant): block size
+    is carried by the spec, not assumed by pack/slots/selection."""
+    blk = (16, 16)
+    (images, spec, pa, pb, gx, gy, src_cams, pts, z_vals,
+     rays_o, rays_d, b) = _setup(rng, block=blk)
+    s = pts.shape[1]
+    ref = gather_bilinear_planes(jnp.asarray(images), gx, gy)
+
+    table = bspg.pack_patch_table(jnp.asarray(images), spec.p)
+    slots = bspg.build_block_slots(pa, pb, spec)
+    g = bspg.gather_block_patches(table, slots, spec)
+    gxb = _to_blocks(gx, H, W, *blk, s)
+    gyb = _to_blocks(gy, H, W, *blk, s)
+    out = bspg.select_block_samples(g, slots, gxb, gyb, spec, 3)
+    ref_b = _to_blocks(ref.reshape(ref.shape[0], -1), H, W, *blk,
                        s * 3).reshape(out.shape)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_b),
                                rtol=1e-5, atol=1e-6)
