@@ -280,8 +280,10 @@ class AdvEvaluator:
         fshape = self.jax.eval_shape(
             lambda x: self.bundle.extract_features(x), jnpf
         )[0].shape
+        blk = int(getattr(args, "bspg_block", 8))
         specs = plan_render_specs(
             cams_all, cams_all, dr, (h, w), fshape[1:3],
+            block=(blk, blk),
             render_stride=args.render_stride,
             n_samples=base.n_samples, n_importance=base.n_importance,
             inv_uniform=base.inv_uniform,

@@ -137,6 +137,9 @@ def config_parser():
     # whole-image eval renders — contiguous per-(block,view) patch fetches
     # replace issue-rate-bound random-row gathers (ops/bspg.py)
     parser.add_argument("--use_bspg", type=str2bool, default=True)
+    # BSPG pixel-block edge (8 or 16): larger blocks halve the patch chains
+    # per view but raise per-block selection work
+    parser.add_argument("--bspg_block", type=int, default=8)
     # view-specific attack iterations per device execution (lax.scan group):
     # amortizes host dispatch; 1 restores the reference's per-iter host loop
     parser.add_argument("--scan_group", type=int, default=25)

@@ -26,12 +26,15 @@ def test_view_render_cfg_plans_and_matches(tmp_path, small_kwargs, monkeypatch):
 
     from nerfool_tpu.attack.engine import AdvEvaluator
 
+    blk = 8
     monkeypatch.setenv("NERFOOL_FORCE_BSPG", "1")
     args = _engine_args(tmp_path, view_specific=True, N_samples=8)
+    args.bspg_block = blk
     ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
     n_src = ev._make_src(ev.test_dataset[0])["cameras"].shape[0]
     cfg = ev._view_render_cfg(int(n_src))
     assert cfg.bspg_specs is not None
+    assert cfg.bspg_specs[0].block == (blk, blk)
     assert ev._view_render_cfg(int(n_src)) is cfg  # planned once, cached
     (grp,) = cfg.bspg_specs[0].groups
     assert grp[0] == tuple(range(int(n_src)))  # remapped onto runtime slots
@@ -48,6 +51,31 @@ def test_view_render_cfg_plans_and_matches(tmp_path, small_kwargs, monkeypatch):
     img_t = np.asarray(
         ev.render_view(data, zero, src, src["cameras"])["outputs_coarse"]["rgb"])
     np.testing.assert_allclose(img_b, img_t, rtol=0, atol=2e-5)
+
+
+def test_view_render_cfg_honors_bspg_block(tmp_path, small_kwargs, monkeypatch):
+    """--bspg_block reaches the planner (block-16 exactness is covered at the
+    ops layer, tests/test_bspg.py::test_bspg_block16_matches_per_tap; this
+    scene's featmaps are too small for a 16-block tube to plan for real)."""
+    from nerfool_tpu.attack import engine as eng
+
+    seen = {}
+
+    def capture(*a, **kw):
+        seen["block"] = kw.get("block")
+        return None  # planner finds nothing -> clean fallback
+
+    import nerfool_tpu.ops.bspg as bspg_mod
+
+    monkeypatch.setenv("NERFOOL_FORCE_BSPG", "1")
+    monkeypatch.setattr(bspg_mod, "plan_render_specs", capture)
+    args = _engine_args(tmp_path, view_specific=True, N_samples=8)
+    args.bspg_block = 16
+    ev = eng.AdvEvaluator(args, dataset_kwargs=small_kwargs)
+    n_src = ev._make_src(ev.test_dataset[0])["cameras"].shape[0]
+    with pytest.warns(UserWarning, match="no admissible patch size"):
+        assert ev._view_render_cfg(int(n_src)) is ev.render_cfg
+    assert seen["block"] == (16, 16)
 
 
 def test_view_render_cfg_fallback_off_tpu(tmp_path, small_kwargs, monkeypatch):
