@@ -9,9 +9,19 @@ run() {  # name, env..., -- cmd...
   local name=$1; shift
   local log=/tmp/battery_${name}.log
   echo "=== $name -> $log"
-  "$@" >"$log" 2>&1
-  echo "exit=$? tail:"
+  # 100-min ceiling per job: generous enough that a kill should never land
+  # mid-compile (worst measured fresh-graph compile ~25 min), but bounds an
+  # unattended run against a half-up relay hanging the whole battery. A kill
+  # can still wedge the relay for ~5-10 min (self-recovers); pause 5 min
+  # before the next job when a timeout fires.
+  timeout -k 60 6000 "$@" >"$log" 2>&1
+  local rc=$?
+  echo "exit=$rc tail:"
   tail -4 "$log" | sed 's/^/    /'
+  if [ $rc -eq 124 ] || [ $rc -eq 137 ]; then
+    echo "    (timed out; sleeping 300s for relay self-recovery)"
+    sleep 300
+  fi
 }
 
 # 1. flagship IBRNet: confirm windowed-BSPG render + V=4 attack + breakdown
