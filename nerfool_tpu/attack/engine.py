@@ -565,12 +565,8 @@ class AdvEvaluator:
         psnr_{scene}_{step}.txt."""
         import jax.numpy as jnp
 
-        from nerfool_tpu.metrics.image import psnr, ssim
-
-        psnr_fn = self.jax.jit(psnr)
-        ssim_fn = self.jax.jit(ssim)
-
         args = self.args
+        psnr_fn, ssim_fn = self._metric_fns()
         lpips_fn = self._build_lpips()
         scene = args.eval_scenes[0] if args.eval_scenes else args.eval_dataset
         if out_dir:
@@ -688,6 +684,20 @@ class AdvEvaluator:
                 f.write(str(results))
         return results
 
+    def _metric_fns(self):
+        """Per-backbone metric protocol (what the reference actually reports):
+        IBRNet results use the TF ops "to match the NeRF paper setup"
+        (/root/reference/eval/ibrnet/eval_adv.py:573-581) — tf.image.psnr +
+        tf.image.ssim (VALID padding); GNT results use img2psnr + the torch
+        windowed SSIM with SAME padding
+        (/root/reference/eval/gnt/eval_adv.py:1193-1196,
+        /root/reference/eval/gnt/utils.py:264-297)."""
+        from nerfool_tpu.metrics.image import img2psnr, psnr, ssim, ssim_windowed
+
+        if self.args.backbone == "gnt":
+            return self.jax.jit(img2psnr), self.jax.jit(ssim_windowed)
+        return self.jax.jit(psnr), self.jax.jit(ssim)
+
     def _build_lpips(self):
         if not getattr(self.args, "lpips_weights", ""):
             print("WARNING: --lpips_weights not set; LPIPS is unmeasurable and "
@@ -700,7 +710,9 @@ class AdvEvaluator:
         from nerfool_tpu.metrics.lpips import LPIPS, load_lpips_weights
 
         params = load_lpips_weights(self.args.lpips_weights)
-        model = LPIPS()
+        # IBRNet protocol scales [0,1] inputs to [-1,1] inside the TF graph;
+        # GNT's pip-lpips call feeds [0,1] raw (normalize=False default)
+        model = LPIPS(normalize=self.args.backbone != "gnt")
         fn = self.jax.jit(lambda a, b: model.apply({"params": params}, a, b))
         return lambda a, b: np.asarray(fn(jnp.asarray(a), jnp.asarray(b)))
 

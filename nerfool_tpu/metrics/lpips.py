@@ -43,12 +43,23 @@ class _VGGFeatures(nn.Module):
 
 
 class LPIPS(nn.Module):
-    """Callable as lpips.apply({'params': p}, pred, gt) with [N,H,W,3] in [0,1]."""
+    """Callable as lpips.apply({'params': p}, pred, gt) with [N,H,W,3].
+
+    ``normalize=True`` maps [0,1] inputs to [-1,1] first — the IBRNet-results
+    convention (the vendored TF graph does this internally,
+    /root/reference/eval/ibrnet/lpips_tensorflow/lpips_tf.py:58-59).
+    ``normalize=False`` feeds inputs raw — the GNT-results convention (pip
+    lpips' default; /root/reference/eval/gnt/utils.py:286-297 passes [0,1]
+    images without the normalize flag).
+    """
+
+    normalize: bool = True
 
     @nn.compact
     def __call__(self, pred, gt):
         def prep(im):
-            im = 2.0 * im - 1.0  # [0,1] -> [-1,1] (pip-lpips normalize=True path)
+            if self.normalize:
+                im = 2.0 * im - 1.0  # [0,1] -> [-1,1]
             return (im - _SHIFT) / _SCALE
 
         vgg = _VGGFeatures(name="vgg")

@@ -56,9 +56,44 @@ def test_ssim_tf_protocol(rng):
     assert float(ssim(jnp.asarray(a), jnp.asarray(a))) > 0.999
 
 
-def test_ssim_windowed_runs(rng):
+def torch_ssim_gnt_protocol(a, b, window_size=11):
+    """Re-derivation of the reference GNT SSIM
+    (/root/reference/eval/gnt/utils.py:199-235): normalized Gaussian(1.5)
+    window, zero-padded SAME conv (padding=window_size//2), C1=0.01^2,
+    C2=0.03^2, mean over the full map."""
+    sigma = 1.5
+    x = np.arange(window_size, dtype=np.float64) - window_size // 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+    c = a.shape[-1]
+    k = torch.from_numpy(np.outer(g, g).astype(np.float32))[None, None]
+    k = k.repeat(c, 1, 1, 1)
+
+    def filt(img):
+        t = torch.from_numpy(img).permute(2, 0, 1)[None]
+        return F.conv2d(t, k, padding=window_size // 2, groups=c)
+
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mx, my = filt(a), filt(b)
+    sxx = filt(a * a) - mx * mx
+    syy = filt(b * b) - my * my
+    sxy = filt(a * b) - mx * my
+    smap = ((2 * mx * my + c1) * (2 * sxy + c2)) / (
+        (mx * mx + my * my + c1) * (sxx + syy + c2)
+    )
+    return float(smap.mean())
+
+
+def test_ssim_windowed_matches_gnt_protocol(rng):
     a = rng.rand(24, 28, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(24, 28, 3).astype(np.float32) * 0.1, 0, 1)
+    ours = float(ssim_windowed(jnp.asarray(a), jnp.asarray(b)))
+    ref = torch_ssim_gnt_protocol(a, b)
+    assert abs(ours - ref) < 1e-4
     assert float(ssim_windowed(jnp.asarray(a), jnp.asarray(a))) > 0.999
+    # the two protocols genuinely differ (VALID vs SAME padding): guard
+    # against one silently aliasing the other
+    assert abs(float(ssim(jnp.asarray(a), jnp.asarray(b))) - ours) > 1e-5
 
 
 def test_img2psnr_mask(rng):
@@ -117,6 +152,26 @@ def test_lpips_formula(rng):
     assert abs(float(same[0])) < 1e-6
 
 
+def test_lpips_normalize_false(rng):
+    """LPIPS(normalize=False) — the GNT convention (pip-lpips default: inputs
+    fed raw, /root/reference/eval/gnt/utils.py:286-297) — must equal the
+    normalize=True path evaluated on pre-scaled inputs, and differ from
+    normalize=True on the same [0,1] inputs."""
+    a = rng.rand(1, 16, 16, 3).astype(np.float32)
+    b = rng.rand(1, 16, 16, 3).astype(np.float32)
+    model_t = LPIPS(normalize=True)
+    params = model_t.init(jax.random.PRNGKey(2), jnp.asarray(a), jnp.asarray(b))["params"]
+    model_f = LPIPS(normalize=False)
+    raw = np.asarray(model_f.apply({"params": params}, jnp.asarray(a), jnp.asarray(b)))
+    # normalize=True on (x+1)/2 re-creates the raw inputs internally
+    pre = np.asarray(
+        model_t.apply({"params": params}, jnp.asarray((a + 1) / 2), jnp.asarray((b + 1) / 2))
+    )
+    np.testing.assert_allclose(raw, pre, rtol=1e-4, atol=1e-6)
+    scaled = np.asarray(model_t.apply({"params": params}, jnp.asarray(a), jnp.asarray(b)))
+    assert abs(float(raw[0]) - float(scaled[0])) > 1e-6
+
+
 def test_lpips_weight_roundtrip(tmp_path, rng):
     model = LPIPS()
     a = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
@@ -163,3 +218,11 @@ def test_lpips_matches_pip_package(rng):
                         torch.from_numpy(b).permute(0, 3, 1, 2),
                         normalize=True).item())
     assert abs(ours - ref) < 1e-4
+    # GNT convention: inputs fed raw (pip-lpips normalize default False,
+    # exactly how /root/reference/eval/gnt/utils.py:286-297 calls it)
+    ours_raw = float(LPIPS(normalize=False).apply(
+        {"params": params}, jnp.asarray(a), jnp.asarray(b))[0])
+    with torch.no_grad():
+        ref_raw = float(net(torch.from_numpy(a).permute(0, 3, 1, 2),
+                            torch.from_numpy(b).permute(0, 3, 1, 2)).item())
+    assert abs(ours_raw - ref_raw) < 1e-4
