@@ -250,11 +250,19 @@ def config_parser():
     parser.add_argument("--geo_noise", type=float, default=0)
     parser.add_argument("--use_trans_attack", action="store_true")
     parser.add_argument("--total_view_limit", type=int, default=None)
+    # parse-compat only: dead in the reference too — `--attack_mode` is
+    # commented out of its parser (/root/reference/config.py:154) and
+    # `--purif_lr` is read into a variable that is never consumed
+    # (/root/reference/eval/gnt/eval_adv.py:1074; opt_purif uses adam_lr,
+    # :1084). Accepted here so reference command lines carrying them parse.
+    parser.add_argument("--attack_mode", type=str, default="view_specific",
+                        choices=["view_specific", "image_specific", "no_attack"])
 
     # ---- purification / defenses (gnt stack, eval/gnt/config.py:291-307)
     parser.add_argument("--use_purification", action="store_true")
     parser.add_argument("--use_self_purification", action="store_true")
     parser.add_argument("--purif_consistency_loss", type=float, default=0)
+    parser.add_argument("--purif_lr", type=float, default=2)  # parse-compat (dead, see above)
     parser.add_argument("--purif_epsilon", type=float, default=8)
     parser.add_argument("--purif_iters", type=int, default=100)
     parser.add_argument("--def_random_noise", type=float, default=0)

@@ -46,6 +46,13 @@ class TrainConfig:
     adv_lr: float = 2.0
 
 
+def aggregator_lr(args):
+    """The aggregator LR knob is per-backbone: the GNT stack trains its
+    transformer at --lrate_gnt (/root/reference/gnt/model.py:59-61), the
+    IBRNet stack its MLP at --lrate_mlp (/root/reference/ibrnet/model.py)."""
+    return args.lrate_gnt if args.backbone == "gnt" else args.lrate_mlp
+
+
 def _select_rays(key, cfg: TrainConfig):
     h, w = cfg.h, cfg.w
     if cfg.sample_mode == "center":
@@ -86,8 +93,13 @@ def make_train_step(bundle, render_cfg: RenderConfig, cfg: TrainConfig,
     """
     modules = bundle.modules
     opt = make_optimizer(cfg, bundle.params)
+    # the reference's adv-train inner render takes neither geo_noise nor the
+    # depth_var regularizer — both apply only to the outer step
+    # (/root/reference/train.py:122-158 vs :162-190)
+    inner_render_cfg = dataclasses.replace(render_cfg, geo_noise=0.0)
 
-    def render_loss(params, src_rgbs_input, batch, sel, key):
+    def render_loss(params, src_rgbs_input, batch, sel, key, inner=False):
+        rcfg = inner_render_cfg if inner else render_cfg
         feats = bundle.extract_features(src_rgbs_input, params=params["feature_net"])
         intr = batch["camera"][2:18].reshape(4, 4)
         c2w = batch["camera"][18:34].reshape(4, 4)
@@ -102,14 +114,14 @@ def make_train_step(bundle, render_cfg: RenderConfig, cfg: TrainConfig,
         net_params = {"net_coarse": params["net_coarse"],
                       "net_fine": params.get("net_fine", params["net_coarse"])}
         ret = render_rays(
-            net_params, modules, rb, feats, render_cfg,
+            net_params, modules, rb, feats, rcfg,
             src_rgbs=batch["src_rgbs"], src_cameras=batch["src_cameras"], key=key,
         )
         gt = batch["rgb"][sel]
         loss = L.rgb_criterion(ret["outputs_coarse"], gt)
         if ret["outputs_fine"] is not None:
             loss = loss + L.rgb_criterion(ret["outputs_fine"], gt)
-        if cfg.depth_var_loss > 0:
+        if not inner and cfg.depth_var_loss > 0:
             dv = L.depth_var_loss(ret["outputs_coarse"])
             if ret["outputs_fine"] is not None:
                 dv = dv + L.depth_var_loss(ret["outputs_fine"])
@@ -126,9 +138,13 @@ def make_train_step(bundle, render_cfg: RenderConfig, cfg: TrainConfig,
         delta = jax.random.uniform(k0, src.shape, src.dtype, -eps, eps)
         delta = clamp(delta, -src, 1.0 - src)
 
-        def body(_, delta):
+        def body(i, delta):
+            # fresh randomness per inner iteration, like the reference's
+            # per-call torch jitter (train.py:131-158)
+            ki = jax.random.fold_in(key, i)
             g = jax.grad(
-                lambda d: render_loss(params, src + d, batch, sel, key)[0]
+                lambda d: render_loss(params, src + d, batch, sel, ki,
+                                      inner=True)[0]
             )(delta)
             delta = delta + alpha * jnp.sign(g)
             delta = clamp(delta, -eps, eps)
@@ -151,6 +167,9 @@ def make_train_step(bundle, render_cfg: RenderConfig, cfg: TrainConfig,
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "psnr": psnr}
 
+    # exposed for the oracle trajectory tests (test_advtrain_trajectory_x64)
+    step.adv_perturb_sources = adv_perturb_sources
+    step.render_loss = render_loss
     return step, opt
 
 

@@ -24,7 +24,7 @@ def main():
     from nerfool_tpu.data import create_training_dataset
     from nerfool_tpu.data.base import Loader
     from nerfool_tpu.models.bundle import create_model, default_render_config
-    from nerfool_tpu.train.trainer import TrainConfig, Trainer
+    from nerfool_tpu.train.trainer import TrainConfig, Trainer, aggregator_lr
 
     dataset = create_training_dataset(args)
     sample = dataset[0]
@@ -39,7 +39,7 @@ def main():
     cfg = TrainConfig(
         h=h, w=w, n_rand=n_rand,
         sample_mode=args.sample_mode, center_ratio=args.center_ratio,
-        lrate_feature=args.lrate_feature, lrate_mlp=args.lrate_mlp,
+        lrate_feature=args.lrate_feature, lrate_mlp=aggregator_lr(args),
         lrate_decay_factor=args.lrate_decay_factor,
         lrate_decay_steps=args.lrate_decay_steps,
         depth_var_loss=args.depth_var_loss,
