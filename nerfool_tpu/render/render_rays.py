@@ -375,7 +375,18 @@ def render_rays(
             super_p=packed.get("p"),
             rgb_shape=packed["shapes"]["rgb"],
         )
-        if cfg.use_clean_color or cfg.use_clean_density:
+        # Hybrid clean/adv mixing (the paper's density-vs-color vulnerability
+        # analysis). The two references differ: ibrnet mixes raw color/sigma
+        # at BOTH levels (render_rays_hybrid, ibrnet/render_ray.py:311-322,
+        # 375-386); gnt mixes only the COARSE outputs — rgb from the clean
+        # branch under use_clean_color, the attention-weight vector under
+        # use_clean_density, while depth always stays the adv branch's and
+        # the fine pass renders adv features unmixed
+        # (gnt/render_ray.py:343-364,367-387).
+        hybrid_here = (cfg.use_clean_color or cfg.use_clean_density) and (
+            cfg.backbone == "ibrnet" or level == "coarse"
+        )
+        if hybrid_here:
             raw_clean, _ = _gather_and_shade(
                 params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
                 featmaps_clean[li], level, ray_d,
@@ -383,9 +394,20 @@ def render_rays(
                 packed_feat=packed["feat_clean"][li],
                 feat_shape=packed["shapes"]["feat_clean"][li],
             )
-            color = raw_clean[..., :3] if cfg.use_clean_color else raw[..., :3]
-            sigma = raw_clean[..., 3:4] if cfg.use_clean_density else raw[..., 3:4]
-            raw = jnp.concatenate([color, sigma], axis=-1)
+            if cfg.backbone == "ibrnet":
+                color = raw_clean[..., :3] if cfg.use_clean_color else raw[..., :3]
+                sigma = raw_clean[..., 3:4] if cfg.use_clean_density else raw[..., 3:4]
+                raw = jnp.concatenate([color, sigma], axis=-1)
+            else:
+                out = _finalize_level(cfg, raw, z_vals, pixel_mask, noise_key)
+                out_clean = _finalize_level(cfg, raw_clean, z_vals, pixel_mask,
+                                            noise_key)
+                return {
+                    "rgb": out_clean["rgb"] if cfg.use_clean_color else out["rgb"],
+                    "weights": (out_clean["weights"] if cfg.use_clean_density
+                                else out["weights"]),
+                    "depth": out["depth"],  # adv depth either way (ref quirk)
+                }
 
         return _finalize_level(cfg, raw, z_vals, pixel_mask, noise_key)
 

@@ -127,6 +127,40 @@ def test_attack_moves_render_more_than_random_delta(tmp_path, small_kwargs):
     assert dev_adv > dev_rand, (dev_adv, dev_rand)
 
 
+def test_hybrid_render_routes_clean_features(tmp_path, small_kwargs):
+    """--use_clean_color/--use_clean_density must route the CLEAN featmaps
+    into render_view: with both flags on, a perturbed-source render equals
+    the zero-delta render exactly (color and density both come from the
+    clean branch, /root/reference/ibrnet/render_ray.py:311-322); with only
+    one flag on it matches neither branch."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfool_tpu.attack.engine import AdvEvaluator
+    from nerfool_tpu.attack.perturb import init_delta
+
+    renders = {}
+    for flags in ((), ("use_clean_color",), ("use_clean_color", "use_clean_density")):
+        args = _engine_args(tmp_path, view_specific=True,
+                            **{f: True for f in flags})
+        ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+        data = ev.test_dataset[0]
+        src = ev._make_src(data)
+        delta = init_delta(jax.random.PRNGKey(3), src["rgbs"], 8.0 / 255)
+        renders[flags] = {
+            "adv": np.asarray(ev.render_view(
+                data, delta, src, src["cameras"])["outputs_coarse"]["rgb"]),
+            "clean": np.asarray(ev.render_view(
+                data, jnp.zeros_like(delta), src,
+                src["cameras"])["outputs_coarse"]["rgb"]),
+        }
+    both = renders[("use_clean_color", "use_clean_density")]
+    np.testing.assert_allclose(both["adv"], both["clean"], atol=1e-5)
+    color_only = renders[("use_clean_color",)]
+    assert np.max(np.abs(color_only["adv"] - color_only["clean"])) > 1e-4
+    assert np.max(np.abs(color_only["adv"] - renders[()]["adv"])) > 1e-4
+
+
 def test_gnt_view_specific_end_to_end(tmp_path, small_kwargs):
     from nerfool_tpu.attack.engine import AdvEvaluator
 
