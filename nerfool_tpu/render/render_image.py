@@ -120,8 +120,11 @@ def render_single_image(
     wall-time bounded, which some TPU runtimes require, and yields natural
     host-side progress points.
 
-    Returns the reference's output contract: rgb painted white where the
-    validity mask is empty (render_image.py:113).
+    Returns the reference's output contract: for the IBRNet stack the COARSE
+    rgb is painted white where the validity mask is empty
+    (/root/reference/ibrnet/render_image.py:113) — the fine rgb is NOT
+    painted; the GNT stack paints nothing (its render_image merge has no
+    mask step, /root/reference/gnt/render_image.py:109-125).
 
     With cfg.bspg_specs set, rays are reordered into bh x bw pixel blocks
     (block segment-patch gather needs block-major rays); outputs are restored
@@ -197,7 +200,9 @@ def render_single_image(
             ret[level] = None
             continue
         imgs = {k: to_image(v) for k, v in out[level].items()}
-        if imgs.get("rgb") is not None and imgs.get("mask") is not None:
+        if (cfg.backbone == "ibrnet" and level == "outputs_coarse"
+                and imgs.get("rgb") is not None
+                and imgs.get("mask") is not None):
             white = jnp.ones_like(imgs["rgb"])
             imgs["rgb"] = jnp.where(imgs["mask"][..., None], imgs["rgb"], white)
         ret[level] = imgs

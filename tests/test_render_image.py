@@ -49,6 +49,30 @@ def test_image_shapes_and_chunk_invariance(rng):
     )
 
 
+def test_white_paint_coarse_only(rng):
+    """The reference paints ONLY the coarse rgb white where the validity mask
+    is empty (/root/reference/ibrnet/render_image.py:113); the fine rgb is
+    written out unpainted (the 'fine' metrics are computed on it directly,
+    eval/ibrnet/eval_adv.py:873-905). With n_samples=8 the coarse mask
+    (sum > 8) is unsatisfiable, so every coarse pixel must paint white while
+    the fine level (12 samples) stays untouched."""
+    bundle, batch, cfg, src_rgbs, src_cams, feats, (h, w) = _setup(rng)
+    out = render_single_image(
+        bundle.render_params, bundle.modules, batch, feats, cfg, h, w,
+        src_rgbs, src_cams, chunk_size=256,
+    )
+    raw = render_rays_blocked(
+        bundle.render_params, bundle.modules, batch, feats, cfg,
+        jnp.asarray(src_rgbs), jnp.asarray(src_cams), block_size=256,
+    )
+    coarse = np.asarray(out["outputs_coarse"]["rgb"])
+    assert not np.asarray(out["outputs_coarse"]["mask"]).any()
+    np.testing.assert_array_equal(coarse, np.ones_like(coarse))
+    fine_raw = np.asarray(raw["outputs_fine"]["rgb"]).reshape(h, w, 3)
+    np.testing.assert_array_equal(np.asarray(out["outputs_fine"]["rgb"]),
+                                  fine_raw)
+
+
 def test_sharded_render_matches_single_device(rng):
     bundle, batch, cfg, src_rgbs, src_cams, feats, (h, w) = _setup(rng)
     assert len(jax.devices()) == 8
