@@ -487,9 +487,13 @@ def _select_group_xla(g, slots, ixg, iyg, spec: BSPGSpec, ks, c, dt):
     w1 = (eq[..., :, None] * wy[..., None, :]).reshape(
         eq.shape[:3] + (ks * (p + 1),))
     gk = g.reshape(g.shape[0], b, ks * (p + 1), (p + 1) * c)
-    z = jnp.einsum("vbsk,vbkc->vbsc", w1, gk)
+    # HIGHEST: DEFAULT MXU precision rounds operands to bf16 (see
+    # ops/spg.py select_samples) — exact selection needs full-f32 passes
+    z = jnp.einsum("vbsk,vbkc->vbsc", w1, gk,
+                   precision=jax.lax.Precision.HIGHEST)
     z = z.reshape(z.shape[:3] + (p + 1, c))
-    return jnp.einsum("vbsp,vbspc->vbsc", wx, z)
+    return jnp.einsum("vbsp,vbspc->vbsc", wx, z,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,

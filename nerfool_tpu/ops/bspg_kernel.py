@@ -132,6 +132,7 @@ def _select_kernel(slots_rep_ref, dy_lane_ref, dx_lane_ref,
     part = jax.lax.dot_general(
         w, g_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(pl.program_id(2) == 0)
@@ -230,6 +231,7 @@ def _select_smallc_kernel(slots_ref, dy_lane_ref, dx_lane_ref, ch_ref,
     z = jax.lax.dot_general(
         eq, g_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )                                                              # [GB,S,c*sp]
 
     dyl = dy_lane_ref[0]        # [c*sp]
@@ -246,6 +248,7 @@ def _select_smallc_kernel(slots_ref, dy_lane_ref, dx_lane_ref, ch_ref,
     out_ref[...] = jax.lax.dot_general(
         zw, ch_ref[...], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(out_ref.dtype)                                        # [GB,S,c]
 
 
@@ -356,6 +359,7 @@ def _select_win_fused_kernel(w0b_ref, slots_rep_ref, dy_lane_ref, dx_lane_ref,
     out = jax.lax.dot_general(
         w2, gwin[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out_ref[...] = out.reshape(gb, sblk, -1).astype(out_ref.dtype)
 
@@ -423,6 +427,7 @@ def _select_win_smallc_kernel(w0b_ref, slots_ref, dy_lane_ref, dx_lane_ref,
     z = jax.lax.dot_general(
         eq2, gwin[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(gb, sblk, -1)                                        # [GB,S,c*sp]
 
     dyl = dy_lane_ref[0]        # [c*sp]
@@ -439,5 +444,6 @@ def _select_win_smallc_kernel(w0b_ref, slots_ref, dy_lane_ref, dx_lane_ref,
     out = jax.lax.dot_general(
         zw, ch_ref[...], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out_ref[...] = out.astype(out_ref.dtype)

@@ -315,6 +315,9 @@ def gather_superrows(gx, gy, table, feat_shape, rgb_shape, p):
     wy_sel = sel(dyc, fy, y0, y0 + 1, h).reshape(-1, p)  # [V*N, P]
     wx_sel = sel(dxc, fx, x0, x0 + 1, w).reshape(-1, p)
     patch = rows[:, 4 * c:].reshape(-1, p, p, 3)
-    rgb = jnp.einsum("np,nq,npqc->nc", wy_sel, wx_sel, patch)
+    # HIGHEST: DEFAULT MXU precision rounds operands to bf16 (see
+    # ops/spg.py select_samples)
+    rgb = jnp.einsum("np,nq,npqc->nc", wy_sel, wx_sel, patch,
+                     precision=jax.lax.Precision.HIGHEST)
     n = gx.shape[-1]
     return feat.reshape(v, n, c), rgb.reshape(v, n, 3)

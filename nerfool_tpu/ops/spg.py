@@ -230,7 +230,8 @@ def project_endpoints(p0, p1, src_cameras):
                       precision=jax.lax.Precision.HIGHEST)  # [V,4,4]
 
     def prj(pts):
-        return (jnp.einsum("vij,rj->vri", proj[:, :3, :3], pts)
+        return (jnp.einsum("vij,rj->vri", proj[:, :3, :3], pts,
+                           precision=jax.lax.Precision.HIGHEST)
                 + proj[:, None, :3, 3])
 
     return prj(p0), prj(p1)
@@ -446,9 +447,17 @@ def select_samples(g_groups, slots_groups, gx, gy, spec: SPGSpec, c):
             eq.shape[:3] + (k * (p + 1),)
         )
         gk = g.reshape(g.shape[0], r, k * (p + 1), (p + 1) * c)
-        z = jnp.einsum("vrsk,vrkc->vrsc", w1, gk)
+        # HIGHEST: at DEFAULT precision the TPU MXU rounds both operands to
+        # bf16, so the "exact" one-hot selection mangles every tap by ~1e-3
+        # relative (the round-2 SPG first-loss anomaly, BENCH_NOTES.md) — the
+        # fractional bilinear weights and f32 table values are not
+        # bf16-representable. CPU einsum is full f32, which is why the
+        # exactness tests never caught it.
+        z = jnp.einsum("vrsk,vrkc->vrsc", w1, gk,
+                       precision=jax.lax.Precision.HIGHEST)
         z = z.reshape(z.shape[:3] + (p + 1, c))
-        outs.append(jnp.einsum("vrsp,vrspc->vrsc", wx, z))
+        outs.append(jnp.einsum("vrsp,vrspc->vrsc", wx, z,
+                               precision=jax.lax.Precision.HIGHEST))
 
     # restack into original view order
     out = jnp.concatenate(outs, axis=0)
