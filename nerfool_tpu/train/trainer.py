@@ -304,7 +304,12 @@ class Trainer:
                     f"psnr={float(aux['psnr']):.2f} ({dt*1e3:.0f} ms/it)"
                 )
             if (i + 1) % i_weights == 0:
-                self.save(i + 1)
+                # rank-0-only checkpointing (reference train.py:202,220-223);
+                # params are GSPMD-replicated so rank 0's copy is canonical
+                from nerfool_tpu.parallel.distributed import is_main_process
+
+                if is_main_process():
+                    self.save(i + 1)
             if i_img and logger is not None and val_iter is not None and (
                 (i + 1) % i_img == 0
             ):

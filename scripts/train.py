@@ -21,6 +21,17 @@ def main():
 
     import jax
 
+    from nerfool_tpu.parallel.distributed import (
+        host_seed, initialize, is_main_process,
+    )
+
+    # multi-host rendezvous (reference train.py:360-363 env:// DDP init);
+    # exact no-op single-process
+    proc_idx, proc_cnt = initialize(args)
+    if proc_cnt > 1:
+        print(f"process {proc_idx}/{proc_cnt}: "
+              f"{len(jax.local_devices())} local / {len(jax.devices())} global chips")
+
     from nerfool_tpu.data import create_training_dataset
     from nerfool_tpu.data.base import Loader
     from nerfool_tpu.models.bundle import create_model, default_render_config
@@ -66,21 +77,28 @@ def main():
         start = trainer.load_latest(load_opt=not args.no_load_opt)
         print(f"resuming from step {start}")
 
-    loader = Loader(dataset, shuffle=True, seed=777, num_workers=args.workers,
-                    infinite=True)
+    # per-host view streams: each process trains on a decorrelated shuffle
+    # (the reference's per-rank DistributedSampler,
+    # create_training_dataset.py:55-97)
+    loader = Loader(dataset, shuffle=True, seed=host_seed(777),
+                    num_workers=args.workers, infinite=True)
     # i_img validation panels: render full frames from the training stream
     # (the reference samples a val view each i_img steps, train.py:226-241)
     from nerfool_tpu.utils.logging import ScalarLogger
 
-    logger = ScalarLogger(out_dir, "train")
+    logger = ScalarLogger(out_dir, "train") if is_main_process() else None
     val_loader = Loader(dataset, shuffle=True, seed=880, num_workers=1,
                         infinite=True)
     trainer.train(
-        iter(loader), args.n_iters, key=jax.random.PRNGKey(args.local_rank),
+        iter(loader), args.n_iters,
+        key=jax.random.PRNGKey(args.local_rank + proc_idx),
         i_print=args.i_print, i_weights=args.i_weights,
-        i_img=args.i_img, val_iter=iter(val_loader), logger=logger,
+        # rank-0-only logging/ckpt cadence (reference train.py:202)
+        i_img=args.i_img if is_main_process() else 0,
+        val_iter=iter(val_loader), logger=logger,
     )
-    trainer.save(trainer.start_step + args.n_iters)
+    if is_main_process():
+        trainer.save(trainer.start_step + args.n_iters)
 
 
 if __name__ == "__main__":
