@@ -29,6 +29,19 @@ GB = 8       # (view, block) rows per grid step
 WBLK = 1024  # one-hot width chunk (lanes)
 
 
+def _sel_precision(dt):
+    """Matmul precision for the exact-selection contractions.
+
+    f32 tables (the attack/parity path) need HIGHEST: at DEFAULT the MXU
+    rounds both operands to bf16, mangling the fractional bilinear weights
+    and f32 table values by ~1e-3 relative (the round-2 SPG loss anomaly —
+    BENCH_NOTES.md). bf16 tables (the opt-in bf16 render path) are already
+    rounded by construction and Mosaic rejects fp32 contract precision on
+    bf16 vectors, so they keep DEFAULT."""
+    return (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def select_block_pallas_ingredients(g, slots, pid, ly, fy, vy0, vy1,
                                     lx, fx, vx0, vx1, spec, c, sblk=None,
                                     out_dtype=None):
@@ -132,7 +145,7 @@ def _select_kernel(slots_rep_ref, dy_lane_ref, dx_lane_ref,
     part = jax.lax.dot_general(
         w, g_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_sel_precision(dt),
     )
 
     @pl.when(pl.program_id(2) == 0)
@@ -231,7 +244,7 @@ def _select_smallc_kernel(slots_ref, dy_lane_ref, dx_lane_ref, ch_ref,
     z = jax.lax.dot_general(
         eq, g_ref[...], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_sel_precision(dt),
     )                                                              # [GB,S,c*sp]
 
     dyl = dy_lane_ref[0]        # [c*sp]
@@ -359,7 +372,7 @@ def _select_win_fused_kernel(w0b_ref, slots_rep_ref, dy_lane_ref, dx_lane_ref,
     out = jax.lax.dot_general(
         w2, gwin[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_sel_precision(dt),
     )
     out_ref[...] = out.reshape(gb, sblk, -1).astype(out_ref.dtype)
 
@@ -427,7 +440,7 @@ def _select_win_smallc_kernel(w0b_ref, slots_ref, dy_lane_ref, dx_lane_ref,
     z = jax.lax.dot_general(
         eq2, gwin[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_sel_precision(dt),
     ).reshape(gb, sblk, -1)                                        # [GB,S,c*sp]
 
     dyl = dy_lane_ref[0]        # [c*sp]
