@@ -300,7 +300,11 @@ def main():
     log(f"attack workload: {ATTACK_SRC} source views (reference README.md:64), "
         f"n_rand={N_RAND}")
     src = {"rgbs": a_rgbs, "cameras": a_cams, "featmaps_clean": None}
-    step = jax.jit(make_attack_step(bundle, attack_render_cfg, acfg))
+    # donate the carried attack state (engine.py does): in-place buffer
+    # reuse instead of a fresh delta+moments allocation per step
+    donate = (0,) if os.environ.get("BENCH_DONATE", "1") == "1" else ()
+    step = jax.jit(make_attack_step(bundle, attack_render_cfg, acfg),
+                   donate_argnums=donate)
     state = init_attack_state(jax.random.PRNGKey(1), acfg, a_rgbs)
     t0 = time.perf_counter()
     state, aux = step(state, target, src, jax.random.PRNGKey(2))
@@ -328,7 +332,8 @@ def main():
 
     group = int(os.environ.get("BENCH_SCAN_GROUP", 10))
     step_raw = make_attack_step(bundle, attack_render_cfg, acfg)
-    scan = jax.jit(lambda st, t, s, k: run_attack_scan(step_raw, st, t, s, k, group))
+    scan = jax.jit(lambda st, t, s, k: run_attack_scan(step_raw, st, t, s, k, group),
+                   donate_argnums=donate)
     state = init_attack_state(jax.random.PRNGKey(1), acfg, a_rgbs)
     t0 = time.perf_counter()
     state, aux = scan(state, target, src, jax.random.PRNGKey(5))

@@ -307,11 +307,31 @@ class AdvEvaluator:
         rcfg = self._attack_render_cfg()
         key = (cfg, rcfg)
         if key not in self._step_cache:
+            # donate the carried attack state (delta + Adam moments): in-place
+            # buffer reuse instead of a fresh allocation per iteration
             self._step_cache[key] = self.jax.jit(
                 make_attack_step(self.bundle, rcfg, cfg,
-                                 ray_sharding=self.ray_sharding)
+                                 ray_sharding=self.ray_sharding),
+                donate_argnums=0,
             )
         return self._step_cache[key]
+
+    def _scan_group(self, n_iters):
+        """Iterations per device execution, clipped to divide n_iters.
+
+        --scan_group unset picks by mesh size: per-iteration dispatch on a
+        single chip (queued dispatches pipeline better than one long scan —
+        203 vs 238-240 ms/iter measured on the v5e relay, buffer donation
+        included), scan groups once rays shard over a multi-chip mesh, where
+        a single host dispatching every iteration becomes the bottleneck
+        (BENCH_NOTES.md scan-vs-dispatch)."""
+        group = getattr(self.args, "scan_group", None)
+        if group is None:
+            group = 25 if self.ray_sharding is not None else 1
+        group = max(1, min(group, n_iters))
+        while n_iters % group:  # exact iteration-count parity with the CLI
+            group -= 1
+        return group
 
     # ---------- attacks ----------
 
@@ -319,20 +339,17 @@ class AdvEvaluator:
         """Optimize delta against one test view's own source set
         (eval_adv.py:762-843). Returns (delta, src, perturbed_src_cameras).
 
-        Iterations run in lax.scan groups (one device execution per
-        ``scan_group`` iterations): per-iteration host dispatch leaves the
-        device idle between steps — an op-profile on the v5e relay showed
-        IDLE as the top attack-loop cost — and the fixed target view makes
-        the whole loop scannable."""
+        Iterations run per-dispatch or in lax.scan groups per
+        ``_scan_group``'s measured rule (dispatch single-chip, scan groups
+        on a multi-chip mesh); the fixed target view makes the whole loop
+        scannable."""
         target, (h, w) = self._make_target(data)
         src = self._make_src(data)
         cfg = build_attack_config(self.args, h, w)
         state = init_attack_state(self._split(), cfg, src["rgbs"])
         t0 = time.perf_counter()
         n_iters = self.args.adv_iters
-        group = max(1, min(getattr(self.args, "scan_group", 25) or 1, n_iters))
-        while n_iters % group:  # exact iteration-count parity with the CLI
-            group -= 1
+        group = self._scan_group(n_iters)
         scan = self._attack_scan_fn(cfg, group)
         # pre-split group keys: a per-iteration host-side split is a tiny
         # device op that serializes the pipeline (~2s/iter on relay-backed TPUs)
@@ -356,7 +373,7 @@ class AdvEvaluator:
             def scan(state, target, src, k):
                 return run_attack_scan(step, state, target, src, k, group)
 
-            self._step_cache[key] = self.jax.jit(scan)
+            self._step_cache[key] = self.jax.jit(scan, donate_argnums=0)
         return self._step_cache[key]
 
     def attack_universal(self, verbose=False, ckpt_path=None):
@@ -409,9 +426,7 @@ class AdvEvaluator:
         # dispatch leaves the device idle (op-profile: IDLE is the top cost on
         # relay-backed chips); stacking `group` streamed targets lets a
         # lax.scan drive `group` iterations in one device execution
-        group = max(1, min(getattr(args, "scan_group", 25) or 1, n_iters))
-        while n_iters % group:
-            group -= 1
+        group = self._scan_group(n_iters)
         scan = self._universal_scan_fn(cfg, group) if group > 1 else None
         keys = self.jax.random.split(self._split(), n_iters)
         i = start_iter
@@ -469,7 +484,7 @@ class AdvEvaluator:
 
                 return self.jax.lax.scan(body, state, (keys, targets))
 
-            self._step_cache[key] = self.jax.jit(scan)
+            self._step_cache[key] = self.jax.jit(scan, donate_argnums=0)
         return self._step_cache[key]
 
     def _finalize(self, state, src, cfg):

@@ -140,9 +140,14 @@ def config_parser():
     # BSPG pixel-block edge (8 or 16): larger blocks halve the patch chains
     # per view but raise per-block selection work
     parser.add_argument("--bspg_block", type=int, default=8)
-    # view-specific attack iterations per device execution (lax.scan group):
-    # amortizes host dispatch; 1 restores the reference's per-iter host loop
-    parser.add_argument("--scan_group", type=int, default=25)
+    # attack iterations per device execution (lax.scan group): amortizes
+    # host dispatch; 1 restores the reference's per-iter host loop. Default
+    # (unset) lets the engine choose by mesh size: per-iter dispatch on a
+    # single chip (queued dispatches pipeline better — measured 203 vs
+    # 238-240 ms/iter on the v5e relay, donation included, BENCH_NOTES.md),
+    # scan groups when rays shard over a multi-chip mesh (one host driving
+    # many chips makes dispatch the bottleneck)
+    parser.add_argument("--scan_group", type=int, default=None)
     # checkpoint the universal-attack state (delta, camera params, Adam
     # moments) every N iterations into out_dir/attack_state.pkl and resume
     # from it on restart; 0 disables (the reference keeps attack state only

@@ -261,7 +261,7 @@ def _select_smallc_kernel(slots_ref, dy_lane_ref, dx_lane_ref, ch_ref,
     out_ref[...] = jax.lax.dot_general(
         zw, ch_ref[...], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_sel_precision(dt),
     ).astype(out_ref.dtype)                                        # [GB,S,c]
 
 
@@ -457,6 +457,6 @@ def _select_win_smallc_kernel(w0b_ref, slots_ref, dy_lane_ref, dx_lane_ref,
     out = jax.lax.dot_general(
         zw, ch_ref[...], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_sel_precision(dt),
     )
     out_ref[...] = out.astype(out_ref.dtype)
