@@ -123,6 +123,15 @@ def config_parser():
                         choices=["float32", "bfloat16"])
     parser.add_argument("--feature_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    # TPU matmul/conv input precision for f32 operands (the MXU rounds f32
+    # inputs to bf16 at 'default' — 1 pass; 'high' 3 passes ~f32; 'highest'
+    # 6 passes). The reference's own GPU runs compute convs at TF32 (torch
+    # allows TF32 for cudnn convs by default: 10-bit mantissa vs bf16's 8),
+    # so 'default' is the like-for-like setting; use 'highest' to test
+    # whether a +-0.2 dB parity gap on real checkpoints is input-rounding
+    # (exact-selection gathers force HIGHEST explicitly regardless)
+    parser.add_argument("--matmul_precision", type=str, default="default",
+                        choices=["default", "high", "highest"])
     # shard the ray axis over all visible devices (attack step + whole-frame
     # render); identical numerics to single-device, so on by default
     parser.add_argument("--shard_rays", type=str2bool, default=True)

@@ -19,3 +19,15 @@ def apply_platform_env():
     import jax
 
     jax.config.update("jax_platforms", plat)
+
+
+def apply_precision(args):
+    """Honor --matmul_precision: raises the MXU input precision for f32
+    operands of every dot/conv that does not set one explicitly (the
+    exact-selection gather contractions already force HIGHEST). 'default'
+    leaves JAX untouched."""
+    prec = getattr(args, "matmul_precision", "default")
+    if prec and prec != "default":
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", prec)

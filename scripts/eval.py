@@ -14,6 +14,9 @@ apply_platform_env()
 
 def main():
     args = config_parser().parse_args()
+    from nerfool_tpu.utils.platform import apply_precision
+
+    apply_precision(args)
     args.distributed = False
     args.no_attack = True
     args.view_specific = True  # per-view source sets, as in clean eval

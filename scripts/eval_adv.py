@@ -19,6 +19,9 @@ apply_platform_env()
 
 def main():
     args = config_parser().parse_args()
+    from nerfool_tpu.utils.platform import apply_precision
+
+    apply_precision(args)
     args.distributed = False
     args.det = True  # always deterministic sampling for attacks (reference :530)
 

@@ -18,6 +18,9 @@ apply_platform_env()
 
 def main():
     args = config_parser().parse_args()
+    from nerfool_tpu.utils.platform import apply_precision
+
+    apply_precision(args)
     args.det = True  # deterministic sampling, as the reference video renderer
     # (render_llff_video.py:172) hard-codes
 

@@ -29,6 +29,9 @@ SCENES = {
 
 def main():
     args = config_parser().parse_args()
+    from nerfool_tpu.utils.platform import apply_precision
+
+    apply_precision(args)
     from nerfool_tpu.attack.engine import AdvEvaluator
 
     datasets = args.eval_dataset.split("+")

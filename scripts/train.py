@@ -18,6 +18,9 @@ apply_platform_env()
 
 def main():
     args = config_parser().parse_args()
+    from nerfool_tpu.utils.platform import apply_precision
+
+    apply_precision(args)
 
     import jax
 
