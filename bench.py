@@ -269,6 +269,9 @@ def main():
         "vs_baseline": round(rays_per_sec / REF_RAYS_PER_SEC, 3),
     }), flush=True)
 
+    if os.environ.get("BENCH_RENDER_ONLY", "0") == "1":
+        return  # sweep mode: skip the attack sections (and their compiles)
+
     # ---- attack step benchmark (f32 render config: the parity path)
     import dataclasses
     # f32 is the parity default; the BSPG selection kernel is forward-only
