@@ -67,6 +67,15 @@ def initialize(args=None, **overrides):
     spec = overrides if overrides.get("num_processes") else _env_spec()
     want = bool(getattr(args, "distributed", False)) or spec is not None
     if want and not _initialized:
+        # CPU multi-process (the offline harness: tests/test_multihost.py,
+        # driver dry-runs) needs an explicit cross-process collectives
+        # implementation; TPU pods ride ICI natively and skip this.
+        try:
+            if "cpu" in (jax.config.jax_platforms or ""):
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         if spec:
             jax.distributed.initialize(**spec)
         else:
