@@ -793,9 +793,8 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
             dx_lane = jnp.asarray(off % p1, jnp.int32)[None]
             ch_onehot = jnp.asarray(
                 (j // sp)[:, None] == np.arange(c)[None, :], f32)
-            wslots_r = jnp.broadcast_to(
-                wslots[:, :, None], (n_rv, npg, GB, kw)
-            ).reshape(n_flat, kw)
+            # one row per grid step — the step's GB chunk rows share it
+            wslots_r = wslots.reshape(n_rv * npg, 1, kw)
             out = select_win_smallc(
                 gc, wslots_r, w0b_flat, pid_r, ly_r, wy0, wy1, lx_r,
                 wx0, wx1, dy_lane, dx_lane, ch_onehot,
@@ -807,9 +806,8 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
             gf = jnp.pad(gf, ((0, 0), (0, ks_pad - ks), (0, 0)))
             gf = gf.reshape(n_rv, ks_pad * sp, c)  # free: row-major no-op
             srep = jnp.repeat(wslots, sp, axis=-1)  # [n_rv, npg, kw*sp]
-            srep_r = jnp.broadcast_to(
-                srep[:, :, None], (n_rv, npg, GB, w_lanes)
-            ).reshape(n_flat, w_lanes)
+            # one row per grid step — the step's GB chunk rows share it
+            srep_r = srep.reshape(n_rv * npg, 1, w_lanes)
             j = np.arange(w_lanes)
             dy_lane = jnp.asarray((j // p1) % p1, jnp.int32)[None]
             dx_lane = jnp.asarray(j % p1, jnp.int32)[None]

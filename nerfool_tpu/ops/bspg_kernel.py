@@ -298,11 +298,15 @@ def select_win_fused(g_fused, slots_rep_win, w0b, pid, ly, wy0, wy1,
 
     :param g_fused: [n_rv, ks_pad*sp, c] patch rows on the fused
         (slot, dy, dx) axis (a free XLA reshape of [n_rv, ks_pad, sp*c])
-    :param slots_rep_win: [n_flat, kw*sp] windowed slot ids repeated over sp
-        (block-major flat: row j = rv * nsb + chunk)
+    :param slots_rep_win: [n_steps, 1, kw*sp] windowed slot ids repeated
+        over sp, ONE row per grid step (all GB chunk rows of a step share the
+        step's window; streaming the row per GB-row block would cost 8x the
+        HBM. Mosaic needs the sublane block dim to equal the array dim, hence
+        the explicit singleton axis)
     :param w0b: [n_steps] int32 window block starts (units of KB slots),
         one per GB-chunk grid step
-    :param pid..wx1: [n_flat, sblk] per-sample ingredients (block-major flat)
+    :param pid..wx1: [n_flat, sblk] per-sample ingredients (block-major flat:
+        row j = rv * nsb + chunk)
     :return: [n_flat, sblk, c] out_dtype
     """
     n_flat = pid.shape[0]
@@ -312,6 +316,8 @@ def select_win_fused(g_fused, slots_rep_win, w0b, pid, ly, wy0, wy1,
     assert kw % KB == 0 and nsb % GB == 0 and n_flat % n_rv == 0
     npg = nsb // GB
     n_steps = n_flat // GB
+    assert slots_rep_win.shape == (n_steps, 1, w), (
+        slots_rep_win.shape, n_steps)
     grid = (n_steps,)
     from jax.experimental.pallas import tpu as pltpu
 
@@ -330,7 +336,8 @@ def select_win_fused(g_fused, slots_rep_win, w0b, pid, ly, wy0, wy1,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((GB, w), lambda i, ref: (i, 0)),  # slots_rep_win
+                pl.BlockSpec((1, 1, w),
+                             lambda i, ref: (i, 0, 0)),  # slots_rep_win
                 const, const,                                   # dy/dx lanes
                 persamp, persamp, persamp, persamp,             # pid, ly, wy0, wy1
                 persamp, persamp, persamp,                      # lx, wx0, wx1
@@ -356,11 +363,11 @@ def _select_win_fused_kernel(w0b_ref, slots_rep_ref, dy_lane_ref, dx_lane_ref,
     pid = pid_ref[...]          # [GB, S]
     ly = ly_ref[...]
     lx = lx_ref[...]
-    srep = slots_rep_ref[...]   # [GB, W]
+    srep = slots_rep_ref[0, 0]  # [W] (shared by the step's GB rows)
     dyl = dy_lane_ref[0]        # [W]
     dxl = dx_lane_ref[0]
 
-    eq = pid[:, :, None] == srep[:, None, :]                      # [GB, S, W]
+    eq = pid[:, :, None] == srep[None, None, :]                   # [GB, S, W]
     wy = jnp.where(dyl[None, None, :] == ly[:, :, None], wy0_ref[...][:, :, None],
                    jnp.where(dyl[None, None, :] == ly[:, :, None] + 1,
                              wy1_ref[...][:, :, None], 0.0))
@@ -383,7 +390,9 @@ def select_win_smallc(g, slots_win, w0b, pid, ly, wy0, wy1, lx, wx0, wx1,
     """Windowed two-stage selection (narrow-channel tables, e.g. rgb).
 
     :param g: [n_rv, ks_pad, c*sp] channel-major patch rows
-    :param slots_win: [n_flat, kw] windowed slot ids (block-major flat)
+    :param slots_win: [n_steps, 1, kw] windowed slot ids, ONE row per grid
+        step (shared by the step's GB chunk rows; singleton sublane axis for
+        Mosaic's block-shape rule)
     """
     n_flat = pid.shape[0]
     csp = c * sp
@@ -392,6 +401,8 @@ def select_win_smallc(g, slots_win, w0b, pid, ly, wy0, wy1, lx, wx0, wx1,
     assert kw % KB == 0 and nsb % GB == 0
     npg = nsb // GB
     n_steps = n_flat // GB
+    assert slots_win.shape == (n_steps, 1, kw), (
+        slots_win.shape, n_steps)
     from jax.experimental.pallas import tpu as pltpu
 
     gspec = []
@@ -409,7 +420,8 @@ def select_win_smallc(g, slots_win, w0b, pid, ly, wy0, wy1, lx, wx0, wx1,
             num_scalar_prefetch=1,
             grid=(n_steps,),
             in_specs=[
-                pl.BlockSpec((GB, kw), lambda i, ref: (i, 0)),   # slots_win
+                pl.BlockSpec((1, 1, kw),
+                             lambda i, ref: (i, 0, 0)),  # slots_win
                 const, const,                                     # dy/dx lanes
                 pl.BlockSpec((csp, c), lambda i, ref: (0, 0)),    # ch_onehot
                 persamp, persamp, persamp, persamp,               # pid, ly, wy0, wy1
@@ -434,8 +446,8 @@ def _select_win_smallc_kernel(w0b_ref, slots_ref, dy_lane_ref, dx_lane_ref,
     dt = gwin.dtype             # [1, Kw, c*sp]
     gb, sblk = pid_ref.shape
     pid = pid_ref[...]          # [GB, S]
-    swin = slots_ref[...]       # [GB, Kw]
-    eq = (pid[:, :, None] == swin[:, None, :]).astype(dt)          # [GB,S,Kw]
+    swin = slots_ref[0, 0]      # [Kw] (shared by the step's GB rows)
+    eq = (pid[:, :, None] == swin[None, None, :]).astype(dt)       # [GB,S,Kw]
     eq2 = eq.reshape(gb * sblk, eq.shape[-1])   # major-dim merge: no-op
     z = jax.lax.dot_general(
         eq2, gwin[0], (((1,), (0,)), ((), ())),

@@ -68,7 +68,7 @@ def main():
             csp = c * sp
             gc = jnp.asarray(rng.rand(n_rv, ks_pad, csp), dt)
             slots_win = jnp.asarray(
-                rng.randint(0, 10000, (n_flat, kw)), jnp.int32)
+                rng.randint(0, 10000, (n_steps, 1, kw)), jnp.int32)
             j = np.arange(csp)
             off = j % sp
             dy_lane = jnp.asarray(off // p1, jnp.int32)[None]
@@ -91,7 +91,7 @@ def main():
         else:
             w = kw * sp
             gf = jnp.asarray(rng.rand(n_rv, ks_pad * sp, c), dt)
-            srep = jnp.asarray(rng.randint(0, 10000, (n_flat, w)), jnp.int32)
+            srep = jnp.asarray(rng.randint(0, 10000, (n_steps, 1, w)), jnp.int32)
             j = np.arange(w)
             dy_lane = jnp.asarray((j // p1) % p1, jnp.int32)[None]
             dx_lane = jnp.asarray(j % p1, jnp.int32)[None]
