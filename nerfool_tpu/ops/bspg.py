@@ -631,6 +631,14 @@ def plan_render_specs(target_cams, src_cams, depth_range, rgb_hw, feat_hw,
     return spec_f, spec_r
 
 
+def _win_two_stage():
+    """A/B switch for the wide-channel windowed selection formulation
+    (BSPG_WIN_TWOSTAGE=0 reverts to the fused one-hot kernel)."""
+    import os
+
+    return os.environ.get("BSPG_WIN_TWOSTAGE", "1") != "0"
+
+
 def _window_sblk(ns, c):
     """Sample-chunk length for windowed selection (multiple of 128 dividing
     ns). Short chunks narrow the depth range per chunk and therefore the slot
@@ -797,6 +805,29 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
             wslots_r = wslots.reshape(n_rv * npg, 1, kw)
             out = select_win_smallc(
                 gc, wslots_r, w0b_flat, pid_r, ly_r, wy0, wy1, lx_r,
+                wx0, wx1, dy_lane, dx_lane, ch_onehot,
+                n_rv=n_rv, kw=kw, sp=sp, c=c, sblk=sblk, out_dtype=dt,
+            )
+        elif _win_two_stage():
+            # two-stage on the NATIVE [ks, sp*c] row layout (no transpose):
+            # stage-1 slot one-hot compares only kw lanes instead of the
+            # fused kernel's kw*sp — the dominant per-sample VPU work drops
+            # ~40% at flagship widths. The smallc kernel is layout-agnostic
+            # given the lane constants: lane j holds spatial offset j // c
+            # (sp-major) and channel j % c, and the collapse indicator sums
+            # each channel's sp lanes.
+            csp = sp * c
+            gf = g.reshape(n_rv, ks, csp)
+            gf = jnp.pad(gf, ((0, 0), (0, ks_pad - ks), (0, 0)))
+            j = np.arange(csp)
+            off = j // c
+            dy_lane = jnp.asarray(off // p1, jnp.int32)[None]
+            dx_lane = jnp.asarray(off % p1, jnp.int32)[None]
+            ch_onehot = jnp.asarray(
+                (j % c)[:, None] == np.arange(c)[None, :], f32)
+            wslots_r = wslots.reshape(n_rv * npg, 1, kw)
+            out = select_win_smallc(
+                gf, wslots_r, w0b_flat, pid_r, ly_r, wy0, wy1, lx_r,
                 wx0, wx1, dy_lane, dx_lane, ch_onehot,
                 n_rv=n_rv, kw=kw, sp=sp, c=c, sblk=sblk, out_dtype=dt,
             )
