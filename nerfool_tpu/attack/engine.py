@@ -22,7 +22,6 @@ from nerfool_tpu.attack.attack import (
     AttackConfig,
     init_attack_state,
     make_attack_step,
-    run_attack_scan,
 )
 from nerfool_tpu.attack.geo_interp import sample_unseen_pose
 from nerfool_tpu.attack.perturb import project_delta
@@ -351,11 +350,15 @@ class AdvEvaluator:
         n_iters = self.args.adv_iters
         group = self._scan_group(n_iters)
         scan = self._attack_scan_fn(cfg, group)
-        # pre-split group keys: a per-iteration host-side split is a tiny
-        # device op that serializes the pipeline (~2s/iter on relay-backed TPUs)
-        keys = self.jax.random.split(self._split(), n_iters // group)
-        for g, key in enumerate(keys):
-            state, aux = scan(state, target, src, key)
+        # pre-split ALL per-iteration keys once (a per-iteration host-side
+        # split is a tiny device op that serializes the pipeline, ~2s/iter on
+        # relay-backed TPUs) and feed each scan execution a SLICE: the
+        # iteration keys — hence the whole trajectory — are identical for any
+        # --scan_group, which the sharded scan-equivalence test relies on
+        keys = self.jax.random.split(self._split(), n_iters)
+        keys = keys.reshape(n_iters // group, group, *keys.shape[1:])
+        for g in range(n_iters // group):
+            state, aux = scan(state, target, src, keys[g])
             done = (g + 1) * group
             if verbose:
                 print(f"  attack iter {done}/{n_iters} "
@@ -370,8 +373,11 @@ class AdvEvaluator:
             step = make_attack_step(self.bundle, rcfg, cfg,
                                     ray_sharding=self.ray_sharding)
 
-            def scan(state, target, src, k):
-                return run_attack_scan(step, state, target, src, k, group)
+            def scan(state, target, src, ks):
+                def body(st, k):
+                    return step(st, target, src, k)
+
+                return self.jax.lax.scan(body, state, ks)
 
             self._step_cache[key] = self.jax.jit(scan, donate_argnums=0)
         return self._step_cache[key]

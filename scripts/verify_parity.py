@@ -21,6 +21,15 @@ present (tensor/module .to()/.cuda() remaps) and with its TF-graph LPIPS
 patched to NaN when the frozen .pb is not cached (zero-egress environments
 cannot fetch it) — matching this repo's LPIPS-is-NaN-without-weights protocol.
 
+LPIPS on real data: the reference side needs its frozen net-lin_vgg .pb cached
+under ~/.lpips (hand-carry it; the self-download needs egress), and this
+repo's side needs an .npz exported ONCE from two hand-carried files —
+    python scripts/export_lpips_weights.py \
+        --vgg_pth vgg16-397923af.pth --lpips_pth vgg.pth
+(see that script's docstring for where the files come from) — passed here as
+--lpips_weights. Without them both sides record NaN and the LPIPS rows are
+report-only.
+
 Expected tolerances: CLEAN metrics must agree within the 0.2 dB / 0.005 SSIM
 verdict thresholds (same math, ported checkpoint; observed fixture agreement
 is ~1e-3 dB). ATTACKED metrics are chaotic across frameworks (different RNG
@@ -246,6 +255,8 @@ def run_ours(a, flags, run):
     os.makedirs(cwd, exist_ok=True)
     cmd = [sys.executable, os.path.join(REPO, "scripts", "eval_adv.py"),
            "--backbone", a.backbone] + flags
+    if a.lpips_weights:
+        cmd += ["--lpips_weights", os.path.abspath(a.lpips_weights)]
     print(f"[ours/{run}] {' '.join(cmd[-12:])}")
     res = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True,
                          timeout=a.timeout)
@@ -274,6 +285,9 @@ def main():
                    help="comma list of clean,view_specific,universal")
     p.add_argument("--workdir", default="out/verify_parity")
     p.add_argument("--adv_iters", type=int, default=None)
+    p.add_argument("--lpips_weights", default="",
+                   help=".npz from scripts/export_lpips_weights.py (our side;"
+                        " the reference side uses its ~/.lpips .pb cache)")
     p.add_argument("--tol_psnr", type=float, default=0.2)
     p.add_argument("--tol_ssim", type=float, default=0.005)
     p.add_argument("--timeout", type=int, default=24 * 3600)

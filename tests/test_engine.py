@@ -127,6 +127,62 @@ def test_attack_moves_render_more_than_random_delta(tmp_path, small_kwargs):
     assert dev_adv > dev_rand, (dev_adv, dev_rand)
 
 
+def test_transfer_attack_reuses_view0_delta(tmp_path, small_kwargs):
+    """--use_trans_attack optimizes delta on view 0 ONLY and reapplies it to
+    every later view's own source set (/root/reference/eval/ibrnet/
+    eval_adv.py:762: optimize iff `not use_trans_attack or i == 0`): the
+    view-specific attack must run exactly once over 2 views, view 1 must be
+    rendered with view 0's delta on view 1's sources, and the transferred
+    delta must still move view 1's render away from its clean render."""
+    import jax.numpy as jnp
+
+    from nerfool_tpu.attack.engine import AdvEvaluator
+
+    args = _engine_args(tmp_path, view_specific=True, use_trans_attack=True,
+                        adv_iters=12, use_pseudo_gt=True)
+    ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+
+    calls = []
+    orig_attack = AdvEvaluator.attack_view_specific
+    rendered = []  # (delta, src) pairs reaching render_view, per view
+    orig_render = AdvEvaluator.render_view
+
+    def spy_attack(self, data, verbose=False):
+        calls.append(1)
+        return orig_attack(self, data, verbose=verbose)
+
+    def spy_render(self, data, delta, src, src_cameras):
+        rendered.append((np.asarray(delta), np.asarray(src["rgbs"])))
+        return orig_render(self, data, delta, src, src_cameras)
+
+    ev.attack_view_specific = spy_attack.__get__(ev)
+    ev.render_view = spy_render.__get__(ev)
+    results = ev.evaluate(out_dir=None, save_images=False, verbose=False,
+                          max_views=2)
+    assert len(calls) == 1, "view 1 must skip optimization"
+    assert len(rendered) == 2
+    d0, s0 = rendered[0]
+    d1, s1 = rendered[1]
+    np.testing.assert_array_equal(d1, d0)  # view 0's delta, verbatim
+    assert np.max(np.abs(s1 - s0)) > 1e-6  # ...on view 1's OWN sources
+    assert np.max(np.abs(d0)) > 0
+
+    # the transferred delta still perturbs view 1's render vs clean
+    data1 = ev.test_dataset[1]
+    src1 = ev._make_src(data1)
+    clean = np.asarray(orig_render(
+        ev, data1, jnp.zeros_like(src1["rgbs"]), src1, src1["cameras"]
+    )["outputs_coarse"]["rgb"])
+    adv = np.asarray(orig_render(
+        ev, data1, jnp.asarray(d1), src1, src1["cameras"]
+    )["outputs_coarse"]["rgb"])
+    assert float(np.mean((adv - clean) ** 2)) > 0
+
+    scene = args.eval_dataset
+    rows = [v for k, v in results[scene].items() if isinstance(v, dict)]
+    assert len(rows) == 2 and all(np.isfinite(r["coarse_psnr"]) for r in rows)
+
+
 def test_hybrid_render_routes_clean_features(tmp_path, small_kwargs):
     """--use_clean_color/--use_clean_density must route the CLEAN featmaps
     into render_view: with both flags on, a perturbed-source render equals
@@ -173,6 +229,59 @@ def test_gnt_view_specific_end_to_end(tmp_path, small_kwargs):
     assert np.isfinite(results[args.eval_dataset]["coarse_mean_psnr"])
 
 
+def test_engine_lpips_full_path(tmp_path, small_kwargs):
+    """The FULL engine LPIPS path with a committed-at-test-time tiny random
+    weights file: weights .npz -> _build_lpips -> per-backbone normalization
+    convention -> recorded per-view value. The recorded LPIPS must equal a
+    direct recompute under the backbone's own convention (IBRNet: [0,1]
+    scaled to [-1,1] inside the net, reference lpips_tf.py:58-59; GNT: raw
+    [0,1], pip-lpips normalize=False default, gnt/utils.py:286-297) and
+    differ from the OTHER backbone's convention on the same images."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfool_tpu.attack.engine import AdvEvaluator
+    from nerfool_tpu.metrics.lpips import LPIPS, load_lpips_weights, save_lpips_weights
+
+    dummy = jnp.zeros((1, 8, 8, 3))
+    params = LPIPS().init(jax.random.PRNGKey(0), dummy, dummy)["params"]
+    wpath = str(tmp_path / "lpips_rand.npz")
+    save_lpips_weights(params, wpath)
+    loaded = load_lpips_weights(wpath)
+
+    for backbone in ("ibrnet", "gnt"):
+        kw = dict(view_specific=True, lpips_weights=wpath)
+        if backbone == "gnt":
+            kw.update(backbone="gnt", trans_depth="2", ret_alpha=True)
+        args = _engine_args(tmp_path, **kw)
+        args.no_attack = True  # clean per-view render: fully deterministic
+        if backbone == "gnt":
+            args.N_importance = 0
+        ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+        results = ev.evaluate(out_dir=None, save_images=False, verbose=False,
+                              max_views=1)
+        data = ev.test_dataset[0]
+        file_id = os.path.splitext(os.path.basename(data["rgb_path"]))[0]
+        recorded = results[args.eval_dataset][file_id]["coarse_lpips"]
+        assert np.isfinite(recorded)
+
+        src = ev._make_src(data)
+        pred = np.clip(np.asarray(ev.render_view(
+            data, jnp.zeros_like(src["rgbs"]), src, src["cameras"]
+        )["outputs_coarse"]["rgb"]), 0, 1)
+        gt = np.asarray(data["rgb"])
+        expect = {
+            conv: float(LPIPS(normalize=conv).apply(
+                {"params": loaded}, jnp.asarray(pred[None]), jnp.asarray(gt[None])
+            )[0])
+            for conv in (True, False)
+        }
+        right = expect[backbone != "gnt"]
+        wrong = expect[backbone == "gnt"]
+        np.testing.assert_allclose(recorded, right, rtol=1e-4, err_msg=backbone)
+        assert abs(recorded - wrong) > 1e-6, (backbone, recorded, wrong)
+
+
 def test_render_video_script_smoke(tmp_path):
     """scripts/render_video.py end-to-end over a generated LLFF scene:
     spiral poses -> whole-frame renders -> frame PNGs (mp4 gated on ffmpeg)."""
@@ -196,6 +305,32 @@ def test_render_video_script_smoke(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = tmp_path / "llff_test" / "vidsmoke_video" / "testscene"
     assert (out / "000.png").exists(), proc.stdout[-2000:]
+
+
+def test_scan_group_sharded_equivalence(tmp_path, small_kwargs):
+    """The pod-default path (scan groups once rays shard over a mesh,
+    engine._scan_group -> 25) must be numerically equivalent to per-iteration
+    dispatch: with iteration keys pre-split once and sliced per group, the
+    view-specific attack over the 8-virtual-device mesh with --scan_group 5
+    produces the same final delta as --scan_group 1."""
+    import jax
+
+    from nerfool_tpu.attack.engine import AdvEvaluator
+
+    assert len(jax.devices()) == 8  # conftest forces the 8-device CPU mesh
+    deltas = {}
+    bundle = None
+    for group in (1, 5):
+        args = _engine_args(tmp_path, view_specific=True, adv_iters=5,
+                            use_pseudo_gt=True)
+        args.scan_group = group
+        ev = AdvEvaluator(args, bundle=bundle, dataset_kwargs=small_kwargs)
+        assert ev.ray_sharding is not None  # rays really shard over the mesh
+        bundle = ev.bundle
+        data = ev.test_dataset[0]
+        delta, _, _ = ev.attack_view_specific(data)
+        deltas[group] = np.asarray(delta)
+    np.testing.assert_allclose(deltas[5], deltas[1], atol=1e-6)
 
 
 def test_code_snapshot(tmp_path):
