@@ -174,10 +174,25 @@ class AdvEvaluator:
         step serves every view. Falls back to the per-tap gather — with a
         warning — where the plan cannot cover the rays: unseen-view
         interpolation and camera-pose attacks move cameras outside any
-        pre-planned set, and not every dataset exposes target_cameras()."""
+        pre-planned set, and not every dataset exposes target_cameras().
+
+        Gather selection: --attack_spg / --attack_gather spg force SPG,
+        --attack_gather tap forces per-tap; the default (auto) picks per-tap
+        below --attack_spg_min_views source views and SPG at or above it —
+        SPG's planning cost and per-step selection overhead amortize as the
+        view count grows while the per-tap random-row gather scales linearly
+        with V (measured crossover: BENCH_NOTES attack-gather section)."""
         args = self.args
         base = self.render_cfg
-        if not getattr(args, "attack_spg", False):
+        mode = getattr(args, "attack_gather", "auto")
+        want_spg = getattr(args, "attack_spg", False) or mode == "spg" or (
+            mode == "auto"
+            and int(getattr(args, "num_source_views", 0))
+            >= int(getattr(args, "attack_spg_min_views", 10))
+        )
+        if mode == "tap" and not getattr(args, "attack_spg", False):
+            want_spg = False
+        if not want_spg:
             return base
         if self._spg_cfg is not None:
             return self._spg_cfg

@@ -142,6 +142,12 @@ def config_parser():
     # back to the per-tap gather for unseen-view / camera-pose attacks and
     # datasets without target_cameras()
     parser.add_argument("--attack_spg", type=str2bool, default=False)
+    # auto: per-tap gather below --attack_spg_min_views source views, SPG at
+    # or above it (SPG's one-plan-for-all-views amortizes with V; per-tap wins
+    # at the reference's 4-view flagship — BENCH_NOTES attack-gather section)
+    parser.add_argument("--attack_gather", type=str, default="auto",
+                        choices=["auto", "spg", "tap"])
+    parser.add_argument("--attack_spg_min_views", type=int, default=10)
     # TPU-only knob (no reference counterpart): block segment-patch gather for
     # whole-image eval renders — contiguous per-(block,view) patch fetches
     # replace issue-rate-bound random-row gathers (ops/bspg.py)
@@ -169,6 +175,10 @@ def config_parser():
     # into the channel axis for the GNT view-side tensors (exact; see
     # models/gnt.py ViewAttention.fold)
     parser.add_argument("--gnt_sample_fold", type=int, default=1)
+    # 2 packs adjacent ray pairs into the 128-lane channel axis through the
+    # whole GNT aggregation — exact, 1.6x on the isolated chain but the entry
+    # relayout of the gathered operands loses e2e (BENCH_NOTES r4); opt-in
+    parser.add_argument("--gnt_ray_fold", type=int, default=1)
     parser.add_argument("--ibrnet_sample_fold", type=int, default=1)
     parser.add_argument("--single_net", type=str2bool, default=True)
     parser.add_argument("--ret_alpha", action="store_true")

@@ -81,6 +81,7 @@ def create_model(
     single_net: bool = False,
     ret_alpha: bool = True,
     gnt_sample_fold: int = 1,
+    gnt_ray_fold: int = 1,
     ibrnet_sample_fold: int = 1,
     ckpt_path: Optional[str] = None,
     rng_key: Optional[jax.Array] = None,
@@ -106,6 +107,7 @@ def create_model(
         if backbone == "gnt":
             single_net = getattr(args, "single_net", single_net)
             gnt_sample_fold = getattr(args, "gnt_sample_fold", gnt_sample_fold)
+            gnt_ray_fold = getattr(args, "gnt_ray_fold", gnt_ray_fold)
         else:
             ibrnet_sample_fold = getattr(args, "ibrnet_sample_fold",
                                          ibrnet_sample_fold)
@@ -136,7 +138,7 @@ def create_model(
         net_coarse = GNTAggregator(
             in_feat_ch=coarse_feat_dim, netwidth=netwidth,
             trans_depth=trans_depth, ret_alpha=ret_alpha,
-            sample_fold=gnt_sample_fold,
+            sample_fold=gnt_sample_fold, ray_fold=gnt_ray_fold,
         )
         net_fine = (
             None
@@ -144,7 +146,7 @@ def create_model(
             else GNTAggregator(
                 in_feat_ch=fine_feat_dim, netwidth=netwidth,
                 trans_depth=trans_depth, ret_alpha=True,
-                sample_fold=gnt_sample_fold,
+                sample_fold=gnt_sample_fold, ray_fold=gnt_ray_fold,
             )
         )
     else:

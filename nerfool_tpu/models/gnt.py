@@ -10,6 +10,23 @@ weights ("learned density").
 
 Dropout is omitted: the attack/eval path always runs the reference networks in
 eval() mode, where dropout is the identity.
+
+Two exact TPU packings of the same math (same param tree, checkpoint-identical):
+
+* ``sample_fold=2`` — fold adjacent SAMPLE pairs into the channel axis on the
+  view-side tensors (block-diagonal weights). Requires a per-block unfold of q
+  for the ray transformer; measured a net loss end-to-end (BENCH_NOTES round-2
+  battery). Kept opt-in.
+* ``ray_fold=2`` — pack adjacent RAY pairs into the channel axis EVERYWHERE.
+  Rays are independent through the whole aggregation (the ray transformer
+  attends along the sample axis within a ray), so the pack is one entry
+  transpose + one exit transpose with no per-block boundaries; the ray
+  transformer stays exact by regrouping 2 rays x 4 heads as 8 heads. Fills the
+  128-lane VREGs/MXU tiles that netwidth-64 tensors leave half empty: measured
+  1.60x on the depth-8 aggregation chain on v5e (scripts/probe_rayfold.py).
+  Mathematically exact — block-diagonal weights only add *0.0 terms to each
+  dot product; the wider K reassociates accumulation, so outputs agree to dot
+  roundoff (6e-7 f32 / 1.3e-15 f64, tests/test_gnt_rayfold.py).
 """
 from __future__ import annotations
 
@@ -21,7 +38,10 @@ from nerfool_tpu.models.layers import (
     DenseParams as _Kernel,
     TorchLayerNorm,
     blockdiag2 as _blockdiag2,
+    blockdiag_segments as _blockdiag_segments,
     fold2 as _fold2,
+    pack_rays2 as _pack_rays2,
+    unpack_rays2 as _unpack_rays2,
 )
 
 
@@ -44,14 +64,33 @@ def nerf_embed(x, num_freqs: int = 10, max_freq_log2: int = 9):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _ln_packed(ln, x, d):
+    """Apply a [d]-param LayerNorm to a ray-packed [..., 2d] tensor: normalize
+    each ray's half separately (free minor-dim reshape)."""
+    sh = x.shape
+    y = ln(x.reshape(sh[:-1] + (2, d)))
+    return y.reshape(sh)
+
+
 class FeedForward(nn.Module):
     hid_dim: int
     out_dim: int
+    # packed: input is ray-packed [..., 2*din]; apply block-diagonal weights
+    # (param tree identical to the plain path)
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Dense(self.hid_dim, name="fc1")(x))
-        return nn.Dense(self.out_dim, name="fc2")(x)
+        if not self.packed:
+            x = nn.relu(nn.Dense(self.hid_dim, name="fc1")(x))
+            return nn.Dense(self.out_dim, name="fc2")(x)
+        din = x.shape[-1] // 2
+        w1, b1 = _Kernel(din, self.hid_dim, name="fc1")()
+        w2, b2 = _Kernel(self.hid_dim, self.out_dim, name="fc2")()
+        dt = x.dtype
+        tile2 = lambda b: jnp.concatenate([b, b]).astype(dt)
+        x = nn.relu(x @ _blockdiag2(w1).astype(dt) + tile2(b1))
+        return x @ _blockdiag2(w2).astype(dt) + tile2(b2)
 
 
 class ViewAttention(nn.Module):
@@ -68,15 +107,21 @@ class ViewAttention(nn.Module):
     matmul uses a block-diagonal weight. All view-side ops are pointwise over
     (s, c) or reduce over V only, so folding is exact; it halves matmul rows
     and fills the otherwise 64->128 lane-padded VPU/MXU tiles.
+
+    ``rayfold``: ray-packed everywhere — q/k/pos arrive with adjacent RAY
+    pairs packed into the channel axis (q [R/2, S, 2D]; k [V, R/2, S, 2D];
+    pos [V, R/2, S, 8]; mask [V, R/2, S, 2]) and stay packed on output.
     """
 
     dim: int
     fold: bool = False
+    rayfold: bool = False
 
     @nn.compact
     def __call__(self, q, k, pos, mask=None):
         # views-first: q [R, S, D]; k [V, R, S, D]; pos [V, R, S, 4]; mask [V, R, S, 1]
         # (folded: k [V, R, S/2, 2D]; pos [V, R, S/2, 8]; mask [V, R, S/2, 2D])
+        # (ray-packed: q [R/2, S, 2D]; k [V, R/2, S, 2D]; mask [V, R/2, S, 2])
         d = self.dim
         wq, _ = _Kernel(d, d, use_bias=False, name="q_fc")()
         wk, _ = _Kernel(d, d, use_bias=False, name="k_fc")()
@@ -87,7 +132,7 @@ class ViewAttention(nn.Module):
         wa1, ba1 = _Kernel(d // 8, d, name="attn_fc1")()
         wo, bo = _Kernel(d, d, name="out_fc")()
 
-        if not self.fold:
+        if not (self.fold or self.rayfold):
             qp = q @ wq.astype(q.dtype)
             wkv = jnp.concatenate([wk, wk @ wv], axis=-1).astype(k.dtype)
             kv = k @ wkv
@@ -103,12 +148,12 @@ class ViewAttention(nn.Module):
             x = jnp.sum((v + pos) * attn, axis=0)  # [R, S, D]
             return x @ wo.astype(x.dtype) + bo.astype(x.dtype)
 
-        # folded path: block-diagonal weights, doubled biases
+        # packed paths: block-diagonal weights, doubled biases
         dt = k.dtype
-        qp = _fold2(q @ wq.astype(q.dtype))  # [R, S/2, 2D]
-        wkv2 = jnp.concatenate(
-            [_blockdiag2(wk), _blockdiag2(wk @ wv)], axis=-1
-        ).astype(dt)
+        qp = (q @ _blockdiag2(wq).astype(q.dtype) if self.rayfold
+              else _fold2(q @ wq.astype(q.dtype)))  # [R(/2), S(/2), 2D]
+        wk2 = _blockdiag2(wk)
+        wkv2 = jnp.concatenate([wk2, _blockdiag2(wk @ wv)], axis=-1).astype(dt)
         kv = k @ wkv2
         kp, v = kv[..., : 2 * d], kv[..., 2 * d :]
         tile2 = lambda b: jnp.concatenate([b, b]).astype(dt)
@@ -118,11 +163,19 @@ class ViewAttention(nn.Module):
         attn = attn @ _blockdiag2(wa0).astype(dt) + tile2(ba0)
         attn = nn.relu(attn) @ _blockdiag2(wa1).astype(dt) + tile2(ba1)
         if mask is not None:
-            attn = jnp.where(mask == 0, -1e9, attn)
+            if self.rayfold:  # mask [V, R/2, S, 2] -> per-half channels
+                sh = attn.shape
+                attn = jnp.where(
+                    mask[..., None] == 0, -1e9,
+                    attn.reshape(sh[:-1] + (2, d))).reshape(sh)
+            else:
+                attn = jnp.where(mask == 0, -1e9, attn)
         attn = jax.nn.softmax(attn, axis=0)  # over views
-        x = jnp.sum((v + pos) * attn, axis=0)  # [R, S/2, 2D]
-        x = x.reshape(x.shape[0], 2 * x.shape[1], d)  # unfold (small side)
-        return x @ wo.astype(x.dtype) + bo.astype(x.dtype)
+        x = jnp.sum((v + pos) * attn, axis=0)  # [R(/2), S(/2), 2D]
+        if not self.rayfold:
+            x = x.reshape(x.shape[0], 2 * x.shape[1], d)  # unfold (small side)
+            return x @ wo.astype(x.dtype) + bo.astype(x.dtype)
+        return x @ _blockdiag2(wo).astype(x.dtype) + tile2(bo)
 
 
 class ViewTransformer(nn.Module):
@@ -130,24 +183,36 @@ class ViewTransformer(nn.Module):
 
     dim: int
     fold: bool = False
+    rayfold: bool = False
 
     @nn.compact
     def __call__(self, q, k, pos, mask=None):
         residue = q
-        x = TorchLayerNorm(name="attn_norm")(q)
-        x = ViewAttention(self.dim, fold=self.fold, name="attn")(x, k, pos, mask)
+        ln = TorchLayerNorm(name="attn_norm")
+        x = _ln_packed(ln, q, self.dim) if self.rayfold else ln(q)
+        x = ViewAttention(self.dim, fold=self.fold, rayfold=self.rayfold,
+                          name="attn")(x, k, pos, mask)
         x = x + residue
         residue = x
-        y = TorchLayerNorm(name="ff_norm")(x)
-        y = FeedForward(self.dim * 4, self.dim, name="ff")(y)
+        ln2 = TorchLayerNorm(name="ff_norm")
+        y = _ln_packed(ln2, x, self.dim) if self.rayfold else ln2(x)
+        y = FeedForward(self.dim * 4, self.dim, packed=self.rayfold,
+                        name="ff")(y)
         return y + residue
 
 
 class RayAttention(nn.Module):
-    """Multi-head qk self-attention along the sample axis (Attention:121-171)."""
+    """Multi-head qk self-attention along the sample axis (Attention:121-171).
+
+    ``rayfold``: input [R/2, S, 2D] with 2 rays packed into channels; the
+    2*n_heads head split keeps the rays separate (channel c of ray j lands in
+    head j*n_heads + (c % D) // head_dim), so per-head attention is exactly
+    the unpacked computation.
+    """
 
     dim: int
     n_heads: int = 4
+    rayfold: bool = False
 
     @nn.compact
     def __call__(self, x, ret_attn=False):
@@ -155,20 +220,37 @@ class RayAttention(nn.Module):
         # tile beats three 64-lane-padded passes on the MXU)
         r, s, _ = x.shape
         hd = self.dim // self.n_heads
-        wq, _ = _Kernel(x.shape[-1], self.dim, use_bias=False, name="q_fc")()
-        wk, _ = _Kernel(x.shape[-1], self.dim, use_bias=False, name="k_fc")()
-        wv, _ = _Kernel(x.shape[-1], self.dim, use_bias=False, name="v_fc")()
-        qkv = x @ jnp.concatenate([wq, wk, wv], axis=-1).astype(x.dtype)
-        q, k, v = (qkv[..., : self.dim], qkv[..., self.dim : 2 * self.dim],
-                   qkv[..., 2 * self.dim :])
-        q = q.reshape(r, s, self.n_heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(r, s, self.n_heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(r, s, self.n_heads, hd).transpose(0, 2, 1, 3)
+        din = self.dim if not self.rayfold else x.shape[-1] // 2
+        wq, _ = _Kernel(din, self.dim, use_bias=False, name="q_fc")()
+        wk, _ = _Kernel(din, self.dim, use_bias=False, name="k_fc")()
+        wv, _ = _Kernel(din, self.dim, use_bias=False, name="v_fc")()
+        if not self.rayfold:
+            qkv = x @ jnp.concatenate([wq, wk, wv], axis=-1).astype(x.dtype)
+            q, k, v = (qkv[..., : self.dim], qkv[..., self.dim : 2 * self.dim],
+                       qkv[..., 2 * self.dim :])
+            nh = self.n_heads
+        else:
+            wqkv = jnp.concatenate(
+                [_blockdiag2(wq), _blockdiag2(wk), _blockdiag2(wv)], axis=-1
+            ).astype(x.dtype)
+            qkv = x @ wqkv
+            q, k, v = (qkv[..., : 2 * self.dim],
+                       qkv[..., 2 * self.dim : 4 * self.dim],
+                       qkv[..., 4 * self.dim :])
+            nh = 2 * self.n_heads
+        q = q.reshape(r, s, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(r, s, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(r, s, nh, hd).transpose(0, 2, 1, 3)
         attn = jnp.einsum("rhqd,rhkd->rhqk", q, k) / jnp.sqrt(float(hd))
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("rhqk,rhkd->rhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(r, s, self.dim)
-        out = nn.Dense(self.dim, name="out_fc")(out)
+        out = out.transpose(0, 2, 1, 3).reshape(r, s, nh * hd)
+        if not self.rayfold:
+            out = nn.Dense(self.dim, name="out_fc")(out)
+        else:
+            wo, bo = _Kernel(self.dim, self.dim, name="out_fc")()
+            out = (out @ _blockdiag2(wo).astype(out.dtype)
+                   + jnp.concatenate([bo, bo]).astype(out.dtype))
         if ret_attn:
             return out, attn
         return out
@@ -179,20 +261,31 @@ class RayTransformer(nn.Module):
 
     dim: int
     n_heads: int = 4
+    rayfold: bool = False
 
     @nn.compact
     def __call__(self, x, ret_attn=False):
         residue = x
-        y = TorchLayerNorm(name="attn_norm")(x)
-        y = RayAttention(self.dim, self.n_heads, name="attn")(y, ret_attn=ret_attn)
+        ln = TorchLayerNorm(name="attn_norm")
+        y = _ln_packed(ln, x, self.dim) if self.rayfold else ln(x)
+        y = RayAttention(self.dim, self.n_heads, rayfold=self.rayfold,
+                         name="attn")(y, ret_attn=ret_attn)
         if ret_attn:
             y, attn = y
         x = y + residue
         residue = x
-        y = TorchLayerNorm(name="ff_norm")(x)
-        y = FeedForward(self.dim * 4, self.dim, name="ff")(y)
+        ln2 = TorchLayerNorm(name="ff_norm")
+        y = _ln_packed(ln2, x, self.dim) if self.rayfold else ln2(x)
+        y = FeedForward(self.dim * 4, self.dim, packed=self.rayfold,
+                        name="ff")(y)
         x = y + residue
         if ret_attn:
+            if self.rayfold:
+                # [R/2, 2H, S, S]: heads 0..H-1 are ray A, H..2H-1 ray B ->
+                # per-ray mean over its own heads, first query token's row
+                r2, h2, s, _ = attn.shape
+                a = attn.reshape(r2, 2, h2 // 2, s, s)
+                return x, jnp.mean(a, axis=2)[:, :, 0]  # [R/2, 2, S]
             # mean over heads, first query token's attention row
             return x, jnp.mean(attn, axis=1)[:, 0]
         return x
@@ -209,6 +302,11 @@ class GNTAggregator(nn.Module):
     # matmul rows and fill the 64->128 lane-padded tiles. Exact (see
     # ViewAttention.fold); requires S even, silently off otherwise.
     sample_fold: int = 1
+    # 2 = pack adjacent RAY pairs into the channel axis through the WHOLE
+    # aggregation (module docstring). Exact; requires R even (silently off
+    # otherwise) and takes precedence over sample_fold. Neutral (1) here;
+    # the bundle/CLI default is 2 (the measured production path).
+    ray_fold: int = 1
 
     @nn.compact
     def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d):
@@ -234,15 +332,28 @@ class GNTAggregator(nn.Module):
         input_views = jnp.broadcast_to(viewdirs[:, None, :], input_pts.shape[:2] + (viewdirs.shape[-1],))
 
         d = self.netwidth
-        fold = self.sample_fold == 2 and rgb_feat.shape[2] % 2 == 0
+        rayfold = self.ray_fold == 2 and rgb_feat.shape[1] % 2 == 0
+        fold = (not rayfold and self.sample_fold == 2
+                and rgb_feat.shape[2] % 2 == 0)
         w0, b0 = _Kernel(rgb_feat.shape[-1], d, name="rgbfeat_fc0")()
         w1, b1 = _Kernel(d, d, name="rgbfeat_fc1")()
         dt = rgb_feat.dtype
-        if fold:
+        tile2 = lambda b: jnp.concatenate([b, b]).astype(dt)
+        if rayfold:
+            # pack ONCE at entry (the only layout transposes of the big
+            # operands); everything below stays packed until the exit unpack
+            rf = _pack_rays2(rgb_feat)  # [V, R/2, S, 2*(3+F)]
+            x = rf @ _blockdiag2(w0).astype(dt) + tile2(b0)
+            x = nn.relu(x) @ _blockdiag2(w1).astype(dt) + tile2(b1)
+            q = jnp.max(x, axis=0)  # [R/2, S, 2D]
+            ray_diff = _pack_rays2(ray_diff)  # [V, R/2, S, 8]
+            mask = _pack_rays2(mask)  # [V, R/2, S, 2]
+            input_pts = _pack_rays2(input_pts)  # [R/2, S, 126]
+            input_views = _pack_rays2(input_views)
+        elif fold:
             # fold ONCE at entry; x / ray_diff / mask stay folded for all
             # blocks, q folds/unfolds per block on the 1x-size side
             rf = _fold2(rgb_feat)
-            tile2 = lambda b: jnp.concatenate([b, b]).astype(dt)
             x = rf @ _blockdiag2(w0).astype(dt) + tile2(b0)
             x = nn.relu(x) @ _blockdiag2(w1).astype(dt) + tile2(b1)
             q = jnp.max(x, axis=0)  # [R, S/2, 2D]
@@ -256,21 +367,43 @@ class GNTAggregator(nn.Module):
 
         attn_out = None
         for i in range(self.trans_depth):
-            q = ViewTransformer(self.netwidth, fold=fold,
+            q = ViewTransformer(self.netwidth, fold=fold, rayfold=rayfold,
                                 name=f"view_trans_{i}")(q, x, ray_diff, mask)
             if i % 2 == 0:
-                q = jnp.concatenate([q, input_pts, input_views], axis=-1)
-                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_0")(q)
-                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_1")(nn.relu(q))
-            q = RayTransformer(self.netwidth, name=f"ray_trans_{i}")(q, ret_attn=self.ret_alpha)
+                # per-ray encoding width (63); packed tensors carry 2 rays
+                pe = input_pts.shape[-1] // (2 if rayfold else 1)
+                wq0, bq0 = _Kernel(d + 2 * pe, d, name=f"q_fc_{i}_0")()
+                wq1, bq1 = _Kernel(d, d, name=f"q_fc_{i}_1")()
+                qc = jnp.concatenate([q, input_pts, input_views], axis=-1)
+                if rayfold:
+                    wp = _blockdiag_segments(wq0, (d, pe, pe)).astype(qc.dtype)
+                    qc = qc @ wp + tile2(bq0)
+                    qc = nn.relu(qc) @ _blockdiag2(wq1).astype(qc.dtype) + tile2(bq1)
+                else:
+                    qc = qc @ wq0.astype(qc.dtype) + bq0.astype(qc.dtype)
+                    qc = nn.relu(qc) @ wq1.astype(qc.dtype) + bq1.astype(qc.dtype)
+                q = qc
+            q = RayTransformer(self.netwidth, rayfold=rayfold,
+                               name=f"ray_trans_{i}")(q, ret_attn=self.ret_alpha)
             if self.ret_alpha:
                 q, attn_out = q
 
         # the reference's FINAL norm is a default-eps nn.LayerNorm (1e-5),
         # unlike the in-block norms' explicit eps=1e-6
         # (transformer_network.py:250 vs :97-98,180-181)
-        h = TorchLayerNorm(eps=1e-5, name="norm")(q)
-        rgb = nn.Dense(3, name="rgb_fc")(jnp.mean(h, axis=1))
+        ln_f = TorchLayerNorm(eps=1e-5, name="norm")
+        wr, br = _Kernel(d, 3, name="rgb_fc")()
+        if rayfold:
+            h = _ln_packed(ln_f, q, d)
+            h = jnp.mean(h, axis=1)  # [R/2, 2D]
+            rgb = h @ _blockdiag2(wr).astype(h.dtype) + tile2(br)
+            rgb = rgb.reshape(-1, 3)  # [R, 3] (ray pairs unpack in order)
+            if self.ret_alpha:
+                attn_out = attn_out.reshape(-1, attn_out.shape[-1])  # [R, S]
+                return jnp.concatenate([rgb, attn_out], axis=1)
+            return rgb
+        h = ln_f(q)
+        rgb = jnp.mean(h, axis=1) @ wr.astype(h.dtype) + br.astype(h.dtype)
         if self.ret_alpha:
             return jnp.concatenate([rgb, attn_out], axis=1)
         return rgb

@@ -144,6 +144,52 @@ def unfold2(x, channels: int):
     return x.reshape(x.shape[:-2] + (2 * x.shape[-2], channels))
 
 
+def pack_rays2(x):
+    """Pack adjacent RAY pairs into the channel axis:
+    [..., R, S, C] -> [..., R/2, S, 2C].
+
+    One layout transpose of the operand (the (2, S) swap), paid ONCE at
+    aggregation entry — unlike :func:`fold2` over samples, rays stay
+    independent through the whole GNT aggregation (the ray transformer
+    attends along S within a ray), so there is no per-block unfold.
+    """
+    sh = x.shape
+    x = x.reshape(sh[:-3] + (sh[-3] // 2, 2) + sh[-2:])
+    x = jnp.swapaxes(x, -3, -2)
+    return x.reshape(sh[:-3] + (sh[-3] // 2, sh[-2], 2 * sh[-1]))
+
+
+def unpack_rays2(x, channels: int):
+    """Inverse of :func:`pack_rays2`: [..., R/2, S, 2C] -> [..., R, S, C]."""
+    sh = x.shape
+    x = x.reshape(sh[:-1] + (2, channels))
+    x = jnp.swapaxes(x, -3, -2)
+    return x.reshape(sh[:-3] + (2 * sh[-3],) + sh[-2:-1] + (channels,))
+
+
+def blockdiag_segments(w, segs):
+    """Packed weight for a Dense over a ray-packed CONCAT input.
+
+    The packed input concatenates per-tensor packed segments
+    ``[aA|aB | bA|bB | ...]`` (segment k of length segs[k] per ray); the
+    equivalent packed weight scatters w's row-segments so ray A's channels
+    feed output columns [:dout] and ray B's feed [dout:]:
+
+    :param w: [sum(segs), dout]
+    :param segs: per-tensor channel counts in concat order
+    :return: [2*sum(segs), 2*dout]
+    """
+    din, dout = w.shape
+    out = jnp.zeros((2 * din, 2 * dout), w.dtype)
+    off = 0
+    for s in segs:
+        seg = w[off:off + s]
+        out = out.at[2 * off:2 * off + s, :dout].set(seg)
+        out = out.at[2 * off + s:2 * off + 2 * s, dout:].set(seg)
+        off += s
+    return out
+
+
 def fold_cat(args):
     """Channel-concat of sample-folded tensors, preserving the fold layout.
 

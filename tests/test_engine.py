@@ -418,6 +418,32 @@ def test_sweep_retarget_reuses_compiled_steps(tmp_path, small_kwargs):
     )
 
 
+def test_attack_gather_auto_select(tmp_path):
+    """--attack_gather auto (default): per-tap below --attack_spg_min_views
+    source views, SPG at/above it; 'tap' forces per-tap even at high V;
+    'spg' forces SPG at low V (BENCH_NOTES attack-gather crossover)."""
+    from nerfool_tpu.attack.engine import AdvEvaluator
+
+    kwargs = {"n_views": 14, "h": 24, "w": 32}
+
+    def cfg_for(n_src, bundle=None, **ov):
+        args = _engine_args(tmp_path, view_specific=True,
+                            num_source_views=n_src, **ov)
+        ev = AdvEvaluator(args, bundle=bundle, dataset_kwargs=kwargs)
+        return ev, ev._attack_render_cfg()
+
+    ev, cfg = cfg_for(4)
+    assert cfg.spg_specs is None  # V=4 flagship: per-tap
+    _, cfg = cfg_for(10, bundle=ev.bundle)
+    assert cfg.spg_specs is not None  # V>=10: SPG auto-selected
+    _, cfg = cfg_for(10, bundle=ev.bundle, attack_gather="tap")
+    assert cfg.spg_specs is None
+    _, cfg = cfg_for(4, bundle=ev.bundle, attack_gather="spg")
+    assert cfg.spg_specs is not None
+    _, cfg = cfg_for(4, bundle=ev.bundle, attack_spg_min_views=4)
+    assert cfg.spg_specs is not None  # threshold is a flag, not a constant
+
+
 def test_view_specific_attack_spg(tmp_path, small_kwargs):
     """--attack_spg plans a per-ray segment-patch gather over the dataset's
     cameras and runs the view-specific attack end-to-end through it."""

@@ -1,0 +1,78 @@
+"""Ray-packed GNT aggregation == unpacked (same params, same inputs).
+
+ray_fold=2 packs adjacent RAY pairs into the channel axis through the whole
+aggregation (models/gnt.py module docstring): block-diagonal weights,
+per-half LayerNorms, 2x4->8 ray-attention heads. Every dot product gains
+only *0.0 terms, so the packing is mathematically exact; the K-dim blocking
+of the wider dots reassociates accumulation, so outputs agree to dot
+roundoff (measured: 6e-7 f32, 1.3e-15 f64), not bitwise.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfool_tpu.models.gnt import GNTAggregator
+from tests.test_gnt_fold import _inputs
+
+
+@pytest.mark.parametrize("ret_alpha", [True, False])
+def test_rayfold_matches_unpacked(ret_alpha):
+    args = _inputs(r=6)
+    base = GNTAggregator(trans_depth=4, ret_alpha=ret_alpha, ray_fold=1)
+    packed = GNTAggregator(trans_depth=4, ret_alpha=ret_alpha, ray_fold=2)
+    params = base.init(jax.random.PRNGKey(0), *args)["params"]
+    out0 = jax.jit(lambda *a: base.apply({"params": params}, *a))(*args)
+    out1 = jax.jit(lambda *a: packed.apply({"params": params}, *a))(*args)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=0, atol=2e-6)
+
+
+def test_rayfold_param_tree_identical():
+    args = _inputs()
+    p0 = GNTAggregator(trans_depth=2, ray_fold=1).init(
+        jax.random.PRNGKey(1), *args)["params"]
+    p1 = GNTAggregator(trans_depth=2, ray_fold=2).init(
+        jax.random.PRNGKey(1), *args)["params"]
+    s0 = jax.tree.map(lambda x: (x.shape, str(x.dtype)), p0)
+    s1 = jax.tree.map(lambda x: (x.shape, str(x.dtype)), p1)
+    assert s0 == s1
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), p0, p1)
+
+
+def test_rayfold_odd_rays_falls_back():
+    args = _inputs(r=5)
+    m = GNTAggregator(trans_depth=2, ray_fold=2)
+    params = m.init(jax.random.PRNGKey(2), *args)["params"]
+    out = m.apply({"params": params}, *args)
+    ref = GNTAggregator(trans_depth=2, ray_fold=1).apply({"params": params}, *args)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_rayfold_takes_precedence_over_sample_fold():
+    args = _inputs(r=4, s=8)
+    both = GNTAggregator(trans_depth=2, ray_fold=2, sample_fold=2)
+    params = both.init(jax.random.PRNGKey(3), *args)["params"]
+    out = both.apply({"params": params}, *args)
+    ref = GNTAggregator(trans_depth=2, ray_fold=1, sample_fold=1).apply(
+        {"params": params}, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-6)
+
+
+def test_rayfold_gradients_match():
+    """The attack differentiates through the aggregator: grads w.r.t. the
+    gathered features must match between packings."""
+    rgb_feat, ray_diff, mask, pts, ray_d = _inputs(r=4)
+
+    def loss(feat, fold):
+        m = GNTAggregator(trans_depth=2, ray_fold=fold)
+        return jnp.sum(m.apply({"params": params}, feat, ray_diff, mask,
+                               pts, ray_d) ** 2)
+
+    params = GNTAggregator(trans_depth=2, ray_fold=1).init(
+        jax.random.PRNGKey(4), rgb_feat, ray_diff, mask, pts, ray_d)["params"]
+    g1 = jax.grad(lambda f: loss(f, 1))(rgb_feat)
+    g2 = jax.grad(lambda f: loss(f, 2))(rgb_feat)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=0, atol=1e-6)
