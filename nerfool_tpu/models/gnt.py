@@ -309,13 +309,22 @@ class GNTAggregator(nn.Module):
     ray_fold: int = 1
 
     @nn.compact
-    def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d):
+    def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d,
+                 inputs_packed: bool = False):
         """
         :param rgb_feat: [V, R, S, 3 + in_feat_ch] (views-first, gather-native)
         :param ray_diff: [V, R, S, 4]
         :param mask: [V, R, S, 1]
         :param pts: [R, S, 3] sample points (world)
         :param ray_d: [R, 3] ray directions
+        :param inputs_packed: the caller already delivers the ray-packed layout
+            (the gather emitted it natively — render_rays._render_rays_bspg):
+            rgb_feat [V, R/2, S, 6+2F] in SEGMENT order [rgbA|rgbB|featA|featB],
+            ray_diff [V, R/2, S, 8], mask [V, R/2, S, 2], pts [R/2, S, 2, 3],
+            ray_d [R/2, 2, 3]. Processing is the ray_fold=2 path minus its
+            entry packs (the big-operand transposes the e2e A/B showed eat the
+            chain win); the segment order is absorbed by a row-permuted
+            block-diagonal entry weight — zero data movement.
         :return: [R, 3] rgb, or [R, 3 + S] (rgb ++ per-sample weights) if ret_alpha
         """
         viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
@@ -325,31 +334,52 @@ class GNTAggregator(nn.Module):
         # embeddings are then promoted back at the q-concat injection below.
         # Replicated for trajectory-level f64 parity; a no-op in f32 runs.
         emb_dt = jnp.float32 if jnp.dtype(pts.dtype) == jnp.float64 else pts.dtype
-        viewdirs = nerf_embed(viewdirs.astype(emb_dt), self.posenc_freqs)  # [R, 63]
-        input_pts = nerf_embed(pts.astype(emb_dt), self.posenc_freqs)  # [R, S, 63]
+        viewdirs = nerf_embed(viewdirs.astype(emb_dt), self.posenc_freqs)
+        input_pts = nerf_embed(pts.astype(emb_dt), self.posenc_freqs)
         input_pts = input_pts.astype(pts.dtype)
         viewdirs = viewdirs.astype(pts.dtype)
-        input_views = jnp.broadcast_to(viewdirs[:, None, :], input_pts.shape[:2] + (viewdirs.shape[-1],))
+        if inputs_packed:
+            # [R/2, S, 2, 63] / [R/2, 2, 63] -> packed [pA|pB] / [vA|vB]
+            # via FREE minor-dim reshapes (identical to _pack_rays2 output)
+            r2, s = input_pts.shape[0], input_pts.shape[1]
+            input_views = jnp.broadcast_to(
+                viewdirs[:, None], (r2, s) + viewdirs.shape[1:])
+            input_pts = input_pts.reshape(r2, s, -1)
+            input_views = input_views.reshape(r2, s, -1)
+        else:
+            input_views = jnp.broadcast_to(
+                viewdirs[:, None, :],
+                input_pts.shape[:2] + (viewdirs.shape[-1],))
 
         d = self.netwidth
-        rayfold = self.ray_fold == 2 and rgb_feat.shape[1] % 2 == 0
+        rayfold = inputs_packed or (
+            self.ray_fold == 2 and rgb_feat.shape[1] % 2 == 0)
         fold = (not rayfold and self.sample_fold == 2
                 and rgb_feat.shape[2] % 2 == 0)
-        w0, b0 = _Kernel(rgb_feat.shape[-1], d, name="rgbfeat_fc0")()
+        c_in = 3 + self.in_feat_ch
+        w0, b0 = _Kernel(c_in, d, name="rgbfeat_fc0")()
         w1, b1 = _Kernel(d, d, name="rgbfeat_fc1")()
         dt = rgb_feat.dtype
         tile2 = lambda b: jnp.concatenate([b, b]).astype(dt)
         if rayfold:
-            # pack ONCE at entry (the only layout transposes of the big
-            # operands); everything below stays packed until the exit unpack
-            rf = _pack_rays2(rgb_feat)  # [V, R/2, S, 2*(3+F)]
-            x = rf @ _blockdiag2(w0).astype(dt) + tile2(b0)
+            if inputs_packed:
+                # gather-native packed layout: [rgbA|rgbB|featA|featB] —
+                # absorb the segment order into the entry weight's rows
+                rf = rgb_feat
+                w0p = _blockdiag_segments(w0, (3, self.in_feat_ch))
+            else:
+                # pack ONCE at entry (the only layout transposes of the big
+                # operands); everything below stays packed to the exit unpack
+                rf = _pack_rays2(rgb_feat)  # [V, R/2, S, 2*(3+F)]
+                w0p = _blockdiag2(w0)
+            x = rf @ w0p.astype(dt) + tile2(b0)
             x = nn.relu(x) @ _blockdiag2(w1).astype(dt) + tile2(b1)
             q = jnp.max(x, axis=0)  # [R/2, S, 2D]
-            ray_diff = _pack_rays2(ray_diff)  # [V, R/2, S, 8]
-            mask = _pack_rays2(mask)  # [V, R/2, S, 2]
-            input_pts = _pack_rays2(input_pts)  # [R/2, S, 126]
-            input_views = _pack_rays2(input_views)
+            if not inputs_packed:
+                ray_diff = _pack_rays2(ray_diff)  # [V, R/2, S, 8]
+                mask = _pack_rays2(mask)  # [V, R/2, S, 2]
+                input_pts = _pack_rays2(input_pts)  # [R/2, S, 126]
+                input_views = _pack_rays2(input_views)
         elif fold:
             # fold ONCE at entry; x / ray_diff / mask stay folded for all
             # blocks, q folds/unfolds per block on the 1x-size side

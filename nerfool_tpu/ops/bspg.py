@@ -496,12 +496,24 @@ def _select_group_xla(g, slots, ixg, iyg, spec: BSPGSpec, ks, c, dt):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def _pack_pairs_out(out):
+    """Ray-major group output [vg, b, n, s, c] -> ray-packed
+    [vg, b, n/2, s, 2, c] (adjacent ray pairs along a trailing pair axis —
+    reshaping the last two dims to 2c yields the models' ray-packed layout)."""
+    vg, b, n, s, c = out.shape
+    return out.reshape(vg, b, n // 2, 2, s, c).swapaxes(3, 4)
+
+
 def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,
-                         use_pallas=False):
+                         use_pallas=False, packed_pairs=False):
     """Exact bilinear taps for every (ray-in-block, sample) from block patches.
 
     :param gx, gy: [V, B, n, S] normalized coords (n = rays per block)
-    :return: [V, B, n, S, c]
+    :param packed_pairs: emit the ray-packed layout [V, B, n/2, S, 2, c]
+        (adjacent ray pairs) instead — the GNT ray_fold consumers take the
+        packed operand straight from the selection, with no relayout of the
+        gathered tensor.
+    :return: [V, B, n, S, c] (or [V, B, n/2, S, 2, c] packed)
     """
     v, b, n, s = gx.shape
     dt = g_groups[0].dtype
@@ -545,7 +557,8 @@ def select_block_samples(g_groups, slots_groups, gx, gy, spec: BSPGSpec, c,
             out = out.astype(dt)
         else:
             out = _select_group_xla(g, slots, ixg, iyg, spec, ks, c, dt)
-        outs.append(out.reshape(len(views), b, n, s, c))
+        out = out.reshape(len(views), b, n, s, c)
+        outs.append(_pack_pairs_out(out) if packed_pairs else out)
 
     out = jnp.concatenate(outs, axis=0)
     order = np.concatenate([np.asarray(vs) for vs, _ in spec.groups])
@@ -654,7 +667,8 @@ def _window_sblk(ns, c):
 
 def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
                              spec: BSPGSpec, c, kw_override=None,
-                             sblk_override=None, debug=None):
+                             sblk_override=None, debug=None,
+                             packed_pairs=False):
     """Windowed Pallas selection: depth-major sample chunks only compare/
     contract against the Kw-slot window of the walk their depth range can
     touch (slot position ~ 3 * L1 cell distance from the walk start + the
@@ -712,7 +726,8 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
             ixg = ix[vi].reshape(vg, b, ns)
             iyg = iy[vi].reshape(vg, b, ns)
             out = _select_group_xla(g, slots, ixg, iyg, spec, ks, c, dt)
-            outs.append(out.reshape(vg, b, n, s, c))
+            out = out.reshape(vg, b, n, s, c)
+            outs.append(_pack_pairs_out(out) if packed_pairs else out)
             continue
         if kw >= ks_pad or not sblk or nsb % GB:
             # no window benefit: full-width kernels on ray-major ingredients
@@ -724,7 +739,8 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
             out = fn(g, slots, ing["pid"], ing["ly"], ing["fy"], ing["vy0"],
                      ing["vy1"], ing["lx"], ing["fx"], ing["vx0"],
                      ing["vx1"], spec, c, out_dtype=dt).astype(dt)
-            outs.append(out.reshape(vg, b, n, s, c))
+            out = out.reshape(vg, b, n, s, c)
+            outs.append(_pack_pairs_out(out) if packed_pairs else out)
             continue
 
         # depth-major ingredients: chunk = contiguous depth range per block.
@@ -848,7 +864,13 @@ def select_block_samples_win(g_groups, slots_groups, starts_groups, gx, gy,
                 n_rv=n_rv, kw=kw, sp=sp, c=c, sblk=sblk, out_dtype=dt,
             )
 
-        out = (out.reshape(vg, b, s, n, c).transpose(0, 1, 3, 2, 4))
+        if packed_pairs:
+            # the depth-major kernel output pays ONE exit transpose either
+            # way; the packed form moves 2c-contiguous runs (vs c), so
+            # emitting the ray-packed layout here is the cheaper exit
+            out = out.reshape(vg, b, s, n // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        else:
+            out = out.reshape(vg, b, s, n, c).transpose(0, 1, 3, 2, 4)
         outs.append(out)
 
     out = jnp.concatenate(outs, axis=0)

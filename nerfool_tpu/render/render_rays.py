@@ -89,13 +89,16 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
     ``model`` holds the flax Modules: {'net_coarse': Module, 'net_fine': Module|None}.
     """
     if cfg.backbone == "ibrnet":
-        def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
+        def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d,
+                  inputs_packed=False):
             return agg_module.apply({"params": agg_params}, rgb_feat, ray_diff, mask)
 
     else:
-        def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d):
+        def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d,
+                  inputs_packed=False):
             return agg_module.apply(
-                {"params": agg_params}, rgb_feat, ray_diff, mask, pts, ray_d
+                {"params": agg_params}, rgb_feat, ray_diff, mask, pts, ray_d,
+                inputs_packed=inputs_packed,
             )
 
     return shade
@@ -268,7 +271,8 @@ def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
     return raw, pixel_mask
 
 
-def _shade_raw(params, model, cfg, rgb_feat, ray_diff, mask, pts, ray_d, level):
+def _shade_raw(params, model, cfg, rgb_feat, ray_diff, mask, pts, ray_d, level,
+               inputs_packed=False):
     """Run the aggregator on gathered taps; returns raw outputs in float32."""
     dt = jnp.dtype(cfg.compute_dtype)
     if dt != jnp.float32:
@@ -279,7 +283,7 @@ def _shade_raw(params, model, cfg, rgb_feat, ray_diff, mask, pts, ray_d, level):
     shade = make_shade_fn(model, cfg)
     net_key = "net_coarse" if (level == "coarse" or cfg.single_net) else "net_fine"
     raw = shade(params[net_key], model[net_key], rgb_feat, ray_diff, mask,
-                pts.astype(dt), ray_d.astype(dt))
+                pts.astype(dt), ray_d.astype(dt), inputs_packed=inputs_packed)
     # promote back: f32 for bf16/f32 compute, but keep f64 pipelines (x64
     # parity tests) lossless end to end
     return raw.astype(jnp.result_type(jnp.float32, rgb_feat.dtype))
@@ -656,6 +660,17 @@ def _render_rays_bspg(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
     c_feat = packed["shapes"]["feat"][0][-1]
     windowed = cfg.bspg_window and cfg.bspg_pallas
 
+    # GNT ray_fold: the gather emits the ray-packed layout NATIVELY.
+    # The selection's depth-major kernels pay one exit transpose either way
+    # (packed moves 2c-contiguous runs — cheaper); ray_diff / mask / the
+    # positional encodings are elementwise over sample points, so feeding
+    # packed-ORDER points makes their packed layout free. This removes the
+    # pack_rays2 relayouts of the big [V,R,S,*] operands that inverted the
+    # ray-fold chain win end-to-end (BENCH_NOTES round-4 ray-fold section).
+    rayfold = (cfg.backbone == "gnt"
+               and getattr(model["net_coarse"], "ray_fold", 1) == 2
+               and npb % 2 == 0)
+
     def sample_level(pts_l, li):
         s = pts_l.shape[1]
         flat = pts_l.reshape(-1, 3)
@@ -665,35 +680,60 @@ def _render_rays_bspg(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
         gxb = gx.reshape(v, b, npb, s)
         gyb = gy.reshape(v, b, npb, s)
         g_f = gather_block_patches(tabs["feat"][li], slots_f, spec_f)
+        r2 = r // 2
         if windowed:
             feat = select_block_samples_win(
-                g_f, slots_f, starts_f, gxb, gyb, spec_f, c_feat
-            ).reshape(v, r, s, c_feat)
+                g_f, slots_f, starts_f, gxb, gyb, spec_f, c_feat,
+                packed_pairs=rayfold,
+            )
             rgb = select_block_samples_win(
-                g_rgb, slots_r, starts_r, gxb, gyb, spec_r, 3
-            ).reshape(v, r, s, 3)
+                g_rgb, slots_r, starts_r, gxb, gyb, spec_r, 3,
+                packed_pairs=rayfold,
+            )
         else:
             feat = select_block_samples(
                 g_f, slots_f, gxb, gyb, spec_f, c_feat,
-                use_pallas=cfg.bspg_pallas,
-            ).reshape(v, r, s, c_feat)
+                use_pallas=cfg.bspg_pallas, packed_pairs=rayfold,
+            )
             rgb = select_block_samples(
                 g_rgb, slots_r, gxb, gyb, spec_r, 3,
-                use_pallas=cfg.bspg_pallas,
-            ).reshape(v, r, s, 3)
+                use_pallas=cfg.bspg_pallas, packed_pairs=rayfold,
+            )
+        if rayfold:
+            feat = feat.reshape(v, r2, s, 2 * c_feat)  # [fA|fB]
+            rgb = rgb.reshape(v, r2, s, 6)  # [rgbA|rgbB]
+            # packed-ORDER points: [R/2, S, 2, 3]; every plane op below is
+            # elementwise over points, so its packed layout costs nothing
+            # (the tiny pts transpose fuses into the projection chain)
+            pts_pk = pts_l.reshape(r2, 2, s, 3).swapaxes(1, 2)
+            flat_pk = pts_pk.reshape(-1, 3)
+            px_pk, py_pk, front_pk = project_points_planes(flat_pk, src_cameras)
+            dxp, dyp, dzp, dot = compute_angle_planes(flat_pk, cam, src_cameras)
+            ray_diff = jnp.stack(
+                [dxp, dyp, dzp, dot], axis=-1).reshape(v, r2, s, 2, 4)
+            ray_diff = ray_diff.reshape(v, r2, s, 8)  # [rdA|rdB]
+            mask = (inbound_mask_planes(px_pk, py_pk, h, w) & front_pk).astype(
+                rgb.dtype).reshape(v, r2, s, 2)
+            rgb_feat = jnp.concatenate([rgb, feat], axis=-1)  # segments (3, F)
+            pm = jnp.sum(mask, axis=0) > 1  # [r2, s, 2] (pair axis last)
+            pmask = pm.transpose(0, 2, 1).reshape(r, s)
+            return rgb_feat, ray_diff, mask, pts_pk, pmask
+        feat = feat.reshape(v, r, s, c_feat)
+        rgb = rgb.reshape(v, r, s, 3)
         dxp, dyp, dzp, dot = compute_angle_planes(flat, cam, src_cameras)
         ray_diff = jnp.stack([dxp, dyp, dzp, dot], axis=-1).reshape(v, r, s, 4)
         mask = (inbound_mask_planes(px, py, h, w) & front).astype(
             rgb.dtype
         ).reshape(v, r, s, 1)
         rgb_feat = jnp.concatenate([rgb, feat], axis=-1)
-        return rgb_feat, ray_diff, mask
+        pmask = jnp.sum(mask[..., 0], axis=0) > 1
+        return rgb_feat, ray_diff, mask, pts_l, pmask
 
     ray_d_full = ray_batch["ray_d"]
-    rgb_feat_c, rd_c, m_c = sample_level(pts, 0)
-    raw_c = _shade_raw(params, model, cfg, rgb_feat_c, rd_c, m_c, pts,
-                       ray_d_full, "coarse")
-    pmask_c = jnp.sum(m_c[..., 0], axis=0) > 1
+    rd_shade = (ray_d_full.reshape(r // 2, 2, 3) if rayfold else ray_d_full)
+    rgb_feat_c, rd_c, m_c, pts_c, pmask_c = sample_level(pts, 0)
+    raw_c = _shade_raw(params, model, cfg, rgb_feat_c, rd_c, m_c, pts_c,
+                       rd_shade, "coarse", inputs_packed=rayfold)
     outputs_coarse = _finalize_level(cfg, raw_c, z_vals, pmask_c, keys[1])
     ret = {"outputs_coarse": outputs_coarse, "outputs_fine": None}
 
@@ -705,10 +745,9 @@ def _render_rays_bspg(params, model, ray_batch, cfg: RenderConfig, src_rgbs,
         )
         pts_fine = (z_all[..., None] * ray_d_full[:, None, :]
                     + ray_batch["ray_o"][:, None, :])
-        rgb_feat_f, rd_f, m_f = sample_level(pts_fine, 1)
-        raw_f = _shade_raw(params, model, cfg, rgb_feat_f, rd_f, m_f, pts_fine,
-                           ray_d_full, "fine")
-        pmask_f = jnp.sum(m_f[..., 0], axis=0) > 1
+        rgb_feat_f, rd_f, m_f, pts_f, pmask_f = sample_level(pts_fine, 1)
+        raw_f = _shade_raw(params, model, cfg, rgb_feat_f, rd_f, m_f, pts_f,
+                           rd_shade, "fine", inputs_packed=rayfold)
         ret["outputs_fine"] = _finalize_level(cfg, raw_f, z_all, pmask_f,
                                               keys[3])
     return ret

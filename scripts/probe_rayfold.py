@@ -37,7 +37,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
     rng = np.random.RandomState(0)
-    V, R, S, D = 10, 800, 192, 64
+    V, R, S, D = 10, int(os.environ.get("PROBE_R", 800)), 192, 64
     dt = jnp.bfloat16
 
     def mk(*shape):

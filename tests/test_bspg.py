@@ -343,6 +343,15 @@ def test_bspg_windowed_select_matches_xla(rng, c):
     assert any(kw_ < ks for kw_, ks, _ in dbg), (dbg, spans)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+    # ray-packed exit: [V, B, n/2, S, 2, c] pairs adjacent rays
+    out_pk = bspg.select_block_samples_win(g, slots, starts, gxb, gyb, spec,
+                                           c, kw_override=kw,
+                                           sblk_override=sblk,
+                                           packed_pairs=True)
+    v_, b_, n_, s_, c_ = np.asarray(ref).shape
+    ref_pk = np.asarray(ref).reshape(v_, b_, n_ // 2, 2, s_, c_).swapaxes(3, 4)
+    np.testing.assert_allclose(np.asarray(out_pk), ref_pk,
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_bspg_windowed_plan_bound_matches(rng):
@@ -420,6 +429,60 @@ def test_bspg_sharded_render_matches_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(out[lvl]["rgb"]), np.asarray(ref[lvl]["rgb"]),
             rtol=1e-4, atol=1e-5,
+        )
+
+
+def test_bspg_gnt_rayfold_matches(rng):
+    """BSPG + ray_fold=2 (gather emits the ray-packed layout natively;
+    inputs_packed model entry) == per-tap ray_fold=1 — the gnt-full bench
+    path with the round-4 packed-gather ray-fold."""
+    import dataclasses
+
+    from nerfool_tpu.models.bundle import create_model
+    from nerfool_tpu.ops.bspg import plan_render_specs
+    from nerfool_tpu.render.render_image import render_single_image
+    from nerfool_tpu.render.render_rays import RenderConfig
+
+    target_cam, src_rgbs, src_cams, _, depth_range = llff_rig_scene(
+        rng, n_src=3, h=H, w=W
+    )
+    bundle = create_model(backbone="gnt", rng_key=jax.random.PRNGKey(5),
+                          trans_depth=2, single_net=True)
+    bundle_rf = create_model(backbone="gnt", rng_key=jax.random.PRNGKey(5),
+                             trans_depth=2, single_net=True, gnt_ray_fold=2)
+    feats = bundle.extract_features(jnp.asarray(src_rgbs))
+    cfg = RenderConfig(n_samples=24, n_importance=24, det=True, backbone="gnt",
+                       single_net=True, ret_alpha=True, inv_uniform=True)
+    intr = target_cam[2:18].reshape(4, 4)
+    c2w = target_cam[18:34].reshape(4, 4)
+    rays_o, rays_d = get_rays(H, W, jnp.asarray(intr), jnp.asarray(c2w))
+    batch = {
+        "ray_o": rays_o, "ray_d": rays_d,
+        "depth_range": jnp.asarray(depth_range),
+        "camera": jnp.asarray(target_cam[None]),
+    }
+    kw = dict(h=H, w=W, src_rgbs=jnp.asarray(src_rgbs),
+              src_cameras=jnp.asarray(src_cams), chunk_size=256)
+    ref = render_single_image(bundle.render_params, bundle.modules, batch,
+                              feats, cfg, **kw)
+
+    specs = plan_render_specs(
+        target_cam[None], src_cams, np.asarray(depth_range).reshape(-1),
+        (H, W), feats[0].shape[1:3], block=BLOCK, n_samples=24,
+        n_importance=24, inv_uniform=True,
+    )
+    assert specs is not None
+    cfg_b = dataclasses.replace(cfg, bspg_specs=specs, bspg_pallas=False)
+    out = render_single_image(bundle_rf.render_params, bundle_rf.modules,
+                              batch, feats, cfg_b, **kw)
+    for level in ("outputs_coarse", "outputs_fine"):
+        np.testing.assert_allclose(
+            np.asarray(out[level]["rgb"]),
+            np.asarray(ref[level]["rgb"]), rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[level]["depth"]),
+            np.asarray(ref[level]["depth"]), rtol=1e-4, atol=1e-4,
         )
 
 

@@ -60,6 +60,33 @@ def test_rayfold_takes_precedence_over_sample_fold():
                                rtol=0, atol=2e-6)
 
 
+def test_inputs_packed_matches_unpacked():
+    """Gather-native packed inputs (render_rays._render_rays_bspg layout:
+    rgb_feat [V,R/2,S,6+2F] segment order [rgbA|rgbB|featA|featB], packed
+    ray_diff/mask, pts [R/2,S,2,3], ray_d [R/2,2,3]) produce the same output
+    as the plain call — the segment order is absorbed by the row-permuted
+    block-diagonal entry weight."""
+    from nerfool_tpu.models.layers import pack_rays2
+
+    rgb_feat, ray_diff, mask, pts, ray_d = _inputs(r=6)
+    r, s = pts.shape[0], pts.shape[1]
+    base = GNTAggregator(trans_depth=4, ray_fold=1)
+    params = base.init(jax.random.PRNGKey(5), rgb_feat, ray_diff, mask,
+                       pts, ray_d)["params"]
+    ref = base.apply({"params": params}, rgb_feat, ray_diff, mask, pts, ray_d)
+
+    rgb_pk = jnp.concatenate(
+        [pack_rays2(rgb_feat[..., :3]), pack_rays2(rgb_feat[..., 3:])], axis=-1)
+    rd_pk = pack_rays2(ray_diff)
+    m_pk = pack_rays2(mask)
+    pts_pk = pts.reshape(r // 2, 2, s, 3).swapaxes(1, 2)
+    rayd_pk = ray_d.reshape(r // 2, 2, 3)
+    out = base.apply({"params": params}, rgb_pk, rd_pk, m_pk, pts_pk,
+                     rayd_pk, inputs_packed=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-6)
+
+
 def test_rayfold_gradients_match():
     """The attack differentiates through the aggregator: grads w.r.t. the
     gathered features must match between packings."""
