@@ -130,7 +130,8 @@ def epipolar_gather_components(xyz, query_camera, src_rgbs, src_cameras, featmap
         src_cameras = jax.lax.stop_gradient(src_cameras)
     h = src_cameras[0, 0]
     w = src_cameras[0, 1]
-    r, s = xyz.shape[0], xyz.shape[1]
+    lead = xyz.shape[:-1]  # usually (R, S); any leading shape works (the
+    # gather is point-order agnostic — ray-packed callers pass [R/2, S, 2])
     v = src_cameras.shape[0]
     pts = xyz.reshape(-1, 3)
 
@@ -149,15 +150,15 @@ def epipolar_gather_components(xyz, query_camera, src_rgbs, src_cameras, featmap
         rgb_sampled = gather_bilinear_planes(src_rgbs, gx, gy, packed=packed_rgb)
         feat_sampled = gather_bilinear_planes(featmaps, gx, gy, packed=packed_feat,
                                               shape=feat_shape)
-    rgb = rgb_sampled.reshape(v, r, s, -1)
-    feat = feat_sampled.reshape(v, r, s, -1)
+    rgb = rgb_sampled.reshape((v,) + lead + (-1,))
+    feat = feat_sampled.reshape((v,) + lead + (-1,))
 
     dx, dy, dz, dot = compute_angle_planes(pts, query_camera, src_cameras)
-    ray_diff = jnp.stack([dx, dy, dz, dot], axis=-1).reshape(v, r, s, 4)
+    ray_diff = jnp.stack([dx, dy, dz, dot], axis=-1).reshape((v,) + lead + (4,))
 
     mask = (inbound_mask_planes(pix_x, pix_y, h, w) & in_front).astype(
         rgb.dtype
-    ).reshape(v, r, s, 1)
+    ).reshape((v,) + lead + (1,))
     return rgb, feat, ray_diff, mask
 
 

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 from nerfool_tpu.render.compositor import raw2outputs
 from nerfool_tpu.render.projection import (
-    epipolar_gather,
     epipolar_gather_components,
 )
 from nerfool_tpu.render.sampling import sample_along_camera_ray, sample_fine_zvals
@@ -239,11 +238,24 @@ def make_packed_tables(src_rgbs, featmaps, featmaps_clean=None,
     return packed
 
 
+def _rayfold_active(model, cfg, n_rays):
+    """Gather-native ray packing applies: GNT aggregator with ray_fold=2 and
+    an even ray count (models/gnt.py inputs_packed)."""
+    return (cfg.backbone == "gnt"
+            and getattr(model["net_coarse"], "ray_fold", 1) == 2
+            and n_rays % 2 == 0)
+
+
 def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
                       featmap, level, ray_d, packed_rgb=None, packed_feat=None,
                       feat_shape=None, packed_super=None, super_p=None,
                       rgb_shape=None):
-    """Project points into source views and run the aggregator."""
+    """Project points into source views and run the aggregator.
+
+    With a ray_fold=2 GNT aggregator the sample points are fed in ray-packed
+    ORDER, so the point-order-agnostic gather emits the packed layout
+    natively (no relayout of the [V,R,S,*] operands — see
+    _render_rays_bspg's rayfold notes)."""
     dt = jnp.dtype(cfg.compute_dtype)
     if dt != jnp.float32 and packed_feat is None and packed_super is None:
         featmap = featmap.astype(dt)
@@ -251,8 +263,11 @@ def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
         src_rgbs_gather = src_rgbs.astype(dt)
     else:
         src_rgbs_gather = src_rgbs
-    rgb_feat, ray_diff, mask = epipolar_gather(
-        pts,
+    r, s = pts.shape[0], pts.shape[1]
+    rayfold = _rayfold_active(model, cfg, r)
+    xyz = (pts.reshape(r // 2, 2, s, 3).swapaxes(1, 2) if rayfold else pts)
+    rgb, feat, ray_diff, mask = epipolar_gather_components(
+        xyz,
         ray_batch["camera"].reshape(-1)[:34],
         src_rgbs_gather,
         src_cameras,
@@ -265,6 +280,20 @@ def _gather_and_shade(params, model, cfg, pts, ray_batch, src_rgbs, src_cameras,
         super_p=super_p,
         rgb_shape=rgb_shape,
     )
+    v = mask.shape[0]
+    if rayfold:
+        r2 = r // 2
+        # [V, R/2, S, 2, C] -> packed channel segments (free reshapes)
+        rgb_feat = jnp.concatenate(
+            [rgb.reshape(v, r2, s, -1), feat.reshape(v, r2, s, -1)], axis=-1)
+        ray_diff = ray_diff.reshape(v, r2, s, 8)
+        mask = mask.reshape(v, r2, s, 2)
+        raw = _shade_raw(params, model, cfg, rgb_feat, ray_diff, mask, xyz,
+                         ray_d.reshape(r2, 2, 3), level, inputs_packed=True)
+        pm = jnp.sum(mask, axis=0) > 1  # [R/2, S, 2]
+        pixel_mask = pm.transpose(0, 2, 1).reshape(r, s)
+        return raw, pixel_mask
+    rgb_feat = jnp.concatenate([rgb, feat], axis=-1)
     raw = _shade_raw(params, model, cfg, rgb_feat, ray_diff, mask, pts, ray_d,
                      level)
     pixel_mask = jnp.sum(mask[..., 0], axis=0) > 1  # >= 2 observations (views-first)

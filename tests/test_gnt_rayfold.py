@@ -87,6 +87,49 @@ def test_inputs_packed_matches_unpacked():
                                rtol=0, atol=2e-6)
 
 
+def test_rayfold_per_tap_render_matches():
+    """render_rays per-tap path with a ray_fold=2 aggregator (gather-native
+    packed layout via packed-order points) == ray_fold=1."""
+    from nerfool_tpu.models.bundle import create_model
+    from nerfool_tpu.render.render_rays import RenderConfig, render_rays
+    from nerfool_tpu.utils.cameras import get_rays, make_camera_vector
+
+    rng = np.random.RandomState(7)
+    h = w = 16
+    intr = np.eye(4)
+    intr[0, 0] = intr[1, 1] = 20.0
+    intr[0, 2], intr[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(4):
+        c2w = np.eye(4)
+        c2w[0, 3] = 0.15 * i
+        c2w[2, 3] = -2.0
+        cams.append(make_camera_vector(h, w, intr, c2w))
+    cams = np.stack(cams)
+    src_rgbs = jnp.asarray(rng.rand(3, h, w, 3).astype(np.float32))
+
+    out = {}
+    for fold in (1, 2):
+        bundle = create_model(backbone="gnt", rng_key=jax.random.PRNGKey(9),
+                              trans_depth=2, single_net=True,
+                              gnt_ray_fold=fold)
+        feats = bundle.extract_features(src_rgbs)
+        cfg = RenderConfig(n_samples=8, n_importance=8, det=True,
+                           backbone="gnt", single_net=True, ret_alpha=True)
+        rays_o, rays_d = get_rays(h, w, jnp.asarray(cams[0][2:18].reshape(4, 4)),
+                                  jnp.asarray(cams[0][18:34].reshape(4, 4)))
+        batch = {"ray_o": rays_o[:64], "ray_d": rays_d[:64],
+                 "depth_range": jnp.asarray([1.0, 4.0]),
+                 "camera": jnp.asarray(cams[0][None])}
+        out[fold] = render_rays(bundle.render_params, bundle.modules, batch,
+                                feats, cfg, src_rgbs=src_rgbs,
+                                src_cameras=jnp.asarray(cams[1:]))
+    for level in ("outputs_coarse", "outputs_fine"):
+        np.testing.assert_allclose(
+            np.asarray(out[2][level]["rgb"]),
+            np.asarray(out[1][level]["rgb"]), rtol=1e-4, atol=1e-5)
+
+
 def test_rayfold_gradients_match():
     """The attack differentiates through the aggregator: grads w.r.t. the
     gathered features must match between packings."""
