@@ -229,6 +229,27 @@ def test_gnt_view_specific_end_to_end(tmp_path, small_kwargs):
     assert np.isfinite(results[args.eval_dataset]["coarse_mean_psnr"])
 
 
+def test_gnt_rayfold_engine_clean_eval_matches(tmp_path, small_kwargs):
+    """Clean GNT eval through the real evaluator with gnt_ray_fold=2 (gather
+    emits the ray-packed layout natively) reproduces the ray_fold=1 PSNR —
+    the production-path guard for the round-4 packed-gather ray fold."""
+    from nerfool_tpu.attack.engine import AdvEvaluator
+
+    psnr = {}
+    for fold in (1, 2):
+        args = _engine_args(tmp_path, backbone="gnt", trans_depth="2",
+                            ret_alpha=True, gnt_ray_fold=str(fold))
+        args.N_importance = 0
+        args.view_specific = False
+        args.no_attack = True
+        ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+        results = ev.evaluate(out_dir=None, save_images=False, verbose=False,
+                              max_views=1)
+        psnr[fold] = results[args.eval_dataset]["coarse_mean_psnr"]
+    assert np.isfinite(psnr[1])
+    np.testing.assert_allclose(psnr[2], psnr[1], rtol=0, atol=5e-3)
+
+
 def test_engine_lpips_full_path(tmp_path, small_kwargs):
     """The FULL engine LPIPS path with a committed-at-test-time tiny random
     weights file: weights .npz -> _build_lpips -> per-backbone normalization
