@@ -301,6 +301,15 @@ def main():
         )
         s_total = N_SAMPLES + (N_SAMPLES + N_IMPORTANCE if N_IMPORTANCE else 0)
         roofline["gather"] = gather_report(n_rays, N_SRC, s_total, rend_s)
+        if BACKBONE == "gnt":
+            # analytic HBM floor of the aggregation chain: how much of the
+            # render time is explained by unavoidable operand traffic
+            from nerfool_tpu.utils.roofline import gnt_aggregation_traffic
+
+            agg = gnt_aggregation_traffic(N_SRC, n_rays, N_SAMPLES)
+            if agg["floor_s"]:
+                agg["pct_of_floor"] = round(100.0 * agg["floor_s"] / rend_s, 1)
+            roofline["gnt_aggregation"] = agg
         log("roofline: " + json.dumps(roofline))
     except Exception as e:  # pragma: no cover - accounting must never kill bench
         log(f"roofline accounting failed: {type(e).__name__}: {e}")

@@ -96,6 +96,39 @@ def phase_report(seconds, flops=None, bytes_accessed=None, executions=1,
     return out
 
 
+def gnt_aggregation_traffic(v, r, s, d=64, depth=8, bytes_per_el=2,
+                            heads=4):
+    """Analytic HBM-traffic floor of the GNT aggregation chain (per ray
+    batch), assuming perfect producer->consumer fusion (each materialized
+    operand crosses HBM once per read and once per write — a LOWER bound on
+    real traffic; XLA materializes at least these).
+
+    Per ViewAttention block the big [V,R,S,D] operands move (reads+writes,
+    in units of B = v*r*s*d*bytes): kv matmul 1R+2W, pos MLP ~1W (d-wide
+    epilogue), attn assembly+MLP ~3R+2W, masked softmax over V ~2R+1W,
+    weighted sum 3R -> ~13B per block (models/gnt.py ViewAttention).
+    Per RayAttention the dominant materialization is the [R,H,S,S] score
+    tensor: 1W (qk) + 2R+1W (softmax) + 1R (AV) = 5 passes, plus ~6 passes
+    over the [R,S,D] q-side operands (qkv/out/FF). The ray-packed fold
+    (ray_fold=2) does not change these byte counts — it halves ROWS at
+    double lane width, attacking the VPU 64-lane padding waste, so its win
+    shows up as a higher %-of-floor, not a lower floor.
+
+    :return: dict with total_gb and the floor seconds at the chip's peak
+        HBM bandwidth (None off-TPU)
+    """
+    big = float(v) * r * s * d * bytes_per_el
+    qside = float(r) * s * d * bytes_per_el
+    score = float(r) * heads * s * s * bytes_per_el
+    per_block = 13.0 * big + 5.0 * score + 6.0 * qside
+    total = depth * per_block + 3.0 * big  # + entry rgbfeat MLP passes
+    _, _, peak_gb = chip_specs()
+    return {
+        "total_gb": round(total / 1e9, 1),
+        "floor_s": round(total / (peak_gb * 1e9), 3) if peak_gb else None,
+    }
+
+
 def gather_report(n_rays, n_views, n_samples_total, seconds):
     """Gather-demand row: taps served per second vs the measured ~47M rows/s
     random-row issue-rate wall (== physical gather rows/s on the per-tap
