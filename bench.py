@@ -162,6 +162,8 @@ def main():
         single_net=BACKBONE == "gnt", ret_alpha=BACKBONE == "gnt",
         stop_camera_grad=BACKBONE == "ibrnet", compute_dtype=DTYPE,
         reuse_fine_taps=REUSE_TAPS,
+        gnt_fused_attn=(BACKBONE == "gnt"
+                        and os.environ.get("BENCH_GNT_FUSED", "1") == "1"),
     )
 
     src_rgbs_j = jnp.asarray(src_rgbs)
@@ -336,7 +338,8 @@ def main():
     # (no VJP) and needs block-major rays, so the attack's differentiated
     # render keeps the per-tap XLA gather path
     attack_render_cfg = dataclasses.replace(cfg, compute_dtype=ATTACK_DTYPE,
-                                            bspg_specs=None)
+                                            bspg_specs=None,
+                                            gnt_fused_attn=False)
     if os.environ.get("BENCH_ATTACK_SPG", "0") == "1":
         # per-RAY segment-patch gather for the random-pixel attack batches
         from nerfool_tpu.ops.spg import plan_attack_specs

@@ -116,6 +116,11 @@ class ViewAttention(nn.Module):
     dim: int
     fold: bool = False
     rayfold: bool = False
+    # route the unfolded forward through the fused Pallas kernel
+    # (ops/vt_kernel.py): one HBM pass over the [V,R,S,D] operand instead of
+    # XLA's ~13. Forward-only (no VJP) — enable on no-grad render paths via
+    # RenderConfig.gnt_fused_attn; f64 inputs (parity tests) fall back.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, q, k, pos, mask=None):
@@ -131,6 +136,19 @@ class ViewAttention(nn.Module):
         wa0, ba0 = _Kernel(d, d // 8, name="attn_fc0")()
         wa1, ba1 = _Kernel(d // 8, d, name="attn_fc1")()
         wo, bo = _Kernel(d, d, name="out_fc")()
+
+        if (self.fused and not (self.fold or self.rayfold)
+                and jnp.dtype(k.dtype) != jnp.float64 and mask is not None):
+            from nerfool_tpu.ops.vt_kernel import fused_view_attention
+
+            v, r, s, _ = k.shape
+            wkv = jnp.concatenate([wk, wk @ wv], axis=-1)
+            out = fused_view_attention(
+                q.reshape(r * s, d), k.reshape(v, r * s, d),
+                pos.reshape(v, r * s, pos.shape[-1]),
+                mask.reshape(v, r * s, 1), wq, wkv, wp0, bp0, wp1, bp1,
+                wa0, ba0, wa1, ba1, wo, bo)
+            return out.reshape(r, s, d)
 
         if not (self.fold or self.rayfold):
             qp = q @ wq.astype(q.dtype)
@@ -184,6 +202,7 @@ class ViewTransformer(nn.Module):
     dim: int
     fold: bool = False
     rayfold: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, q, k, pos, mask=None):
@@ -191,7 +210,7 @@ class ViewTransformer(nn.Module):
         ln = TorchLayerNorm(name="attn_norm")
         x = _ln_packed(ln, q, self.dim) if self.rayfold else ln(q)
         x = ViewAttention(self.dim, fold=self.fold, rayfold=self.rayfold,
-                          name="attn")(x, k, pos, mask)
+                          fused=self.fused, name="attn")(x, k, pos, mask)
         x = x + residue
         residue = x
         ln2 = TorchLayerNorm(name="ff_norm")
@@ -307,6 +326,10 @@ class GNTAggregator(nn.Module):
     # otherwise) and takes precedence over sample_fold. Neutral (1) here;
     # the bundle/CLI default is 2 (the measured production path).
     ray_fold: int = 1
+    # route the unfolded view attention through the fused Pallas kernel
+    # (forward-only; see ViewAttention.fused). Set via module.clone on the
+    # no-grad render path — RenderConfig.gnt_fused_attn.
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d,
@@ -398,6 +421,7 @@ class GNTAggregator(nn.Module):
         attn_out = None
         for i in range(self.trans_depth):
             q = ViewTransformer(self.netwidth, fold=fold, rayfold=rayfold,
+                                fused=self.fused_attn,
                                 name=f"view_trans_{i}")(q, x, ray_diff, mask)
             if i % 2 == 0:
                 # per-ray encoding width (63); packed tensors carry 2 rays

@@ -1,0 +1,100 @@
+"""Dump the optimized HLO of the GNT-full render block at ray_fold=1 vs 2
+(compile cache warm from probe_rayfold_e2e) so the fold=2-only ops the xprof
+profile surfaced (reduce_sum.1438, copy.4094/4139/...) can be read with their
+shapes.
+
+Usage: python scripts/probe_rayfold_hlo.py  -> /tmp/rayfold_hlo_f{1,2}.txt
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+H = int(os.environ.get("BENCH_H", 756))
+W = int(os.environ.get("BENCH_W", 1008))
+N_SRC = int(os.environ.get("BENCH_SRC", 10))
+N_SAMPLES = int(os.environ.get("BENCH_NSAMPLES", 192))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 4096))
+SEG = int(os.environ.get("BENCH_MAX_SEG", 32768))
+
+
+def main():
+    from bench import build_scene
+
+    from nerfool_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from nerfool_tpu.models.bundle import create_model
+    from nerfool_tpu.ops.bspg import plan_render_specs
+    from nerfool_tpu.render.render_image import render_rays_blocked
+    from nerfool_tpu.render.render_rays import RenderConfig
+    from nerfool_tpu.utils.cameras import get_rays
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    rng = np.random.RandomState(0)
+    cams, depth_range = build_scene()
+    target_cam, src_cams = cams[0], cams[1:]
+    src_rgbs = jnp.asarray(rng.rand(N_SRC, H, W, 3).astype(np.float32))
+    src_cams_j = jnp.asarray(src_cams)
+
+    bundles = {
+        f: create_model(backbone="gnt", rng_key=jax.random.PRNGKey(0),
+                        trans_depth=8, single_net=True, gnt_ray_fold=f)
+        for f in (1, 2)
+    }
+    extract = jax.jit(
+        lambda p, x: bundles[1].feature_net.apply({"params": p}, x))
+    feats = extract(bundles[1].params["feature_net"], src_rgbs)
+
+    cfg = RenderConfig(n_samples=N_SAMPLES, n_importance=0, det=True,
+                       inv_uniform=True, backbone="gnt", single_net=True,
+                       ret_alpha=True, stop_camera_grad=False,
+                       compute_dtype="bfloat16")
+    specs = plan_render_specs(
+        target_cam[None], src_cams, depth_range.reshape(-1), (H, W),
+        feats[0].shape[1:3], block=(8, 8), n_samples=N_SAMPLES,
+        n_importance=0, inv_uniform=True)
+    assert specs is not None
+    import dataclasses
+    cfg = dataclasses.replace(cfg, bspg_specs=specs, bspg_pallas=True)
+
+    intr = target_cam[2:18].reshape(4, 4)
+    c2w = target_cam[18:34].reshape(4, 4)
+    rays_o, rays_d = get_rays(H, W, jnp.asarray(intr), jnp.asarray(c2w))
+    bh = bw = 8
+    hp, wp = -(-H // bh) * bh, -(-W // bw) * bw
+    yy, xx = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
+    sidx = np.minimum(yy, H - 1) * W + np.minimum(xx, W - 1)
+    perm = (sidx.reshape(hp // bh, bh, wp // bw, bw)
+            .transpose(0, 2, 1, 3).reshape(-1))
+    batch = {
+        "ray_o": rays_o[jnp.asarray(perm)][:SEG],
+        "ray_d": rays_d[jnp.asarray(perm)][:SEG],
+        "depth_range": jnp.asarray(depth_range),
+        "camera": jnp.asarray(target_cam[None]),
+    }
+
+    for f in (1, 2):
+        lowered = jax.jit(
+            lambda params, _f=f: render_rays_blocked(
+                params, bundles[_f].modules, batch, feats, cfg,
+                src_rgbs=src_rgbs, src_cameras=src_cams_j, block_size=CHUNK,
+                key=None, featmaps_clean=None)
+        ).lower(bundles[f].render_params)
+        compiled = lowered.compile()
+        txt = compiled.as_text()
+        path = f"/tmp/rayfold_hlo_f{f}.txt"
+        with open(path, "w") as fh:
+            fh.write(txt)
+        print(f"fold={f}: wrote {len(txt)/1e6:.1f} MB to {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
