@@ -232,6 +232,11 @@ class RayAttention(nn.Module):
     dim: int
     n_heads: int = 4
     rayfold: bool = False
+    # fused Pallas path (ops/ra_kernel.py): whole attention in VMEM, no
+    # [R,H,S,S] score materialization. Forward-only; with ret_attn it
+    # returns the head-mean FIRST-query-row map [R, S] directly (the only
+    # consumer — RayTransformer — needs nothing else). f64 falls back.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, ret_attn=False):
@@ -243,6 +248,17 @@ class RayAttention(nn.Module):
         wq, _ = _Kernel(din, self.dim, use_bias=False, name="q_fc")()
         wk, _ = _Kernel(din, self.dim, use_bias=False, name="k_fc")()
         wv, _ = _Kernel(din, self.dim, use_bias=False, name="v_fc")()
+        if (self.fused and not self.rayfold
+                and jnp.dtype(x.dtype) != jnp.float64):
+            from nerfool_tpu.ops.ra_kernel import fused_ray_attention
+
+            wo, bo = _Kernel(self.dim, self.dim, name="out_fc")()
+            wqkv = jnp.concatenate([wq, wk, wv], axis=-1)
+            out, attn0 = fused_ray_attention(x, wqkv, wo, bo,
+                                             n_heads=self.n_heads)
+            if ret_attn:
+                return out, attn0
+            return out
         if not self.rayfold:
             qkv = x @ jnp.concatenate([wq, wk, wv], axis=-1).astype(x.dtype)
             q, k, v = (qkv[..., : self.dim], qkv[..., self.dim : 2 * self.dim],
@@ -281,14 +297,17 @@ class RayTransformer(nn.Module):
     dim: int
     n_heads: int = 4
     rayfold: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, ret_attn=False):
+        fused = (self.fused and not self.rayfold
+                 and jnp.dtype(x.dtype) != jnp.float64)
         residue = x
         ln = TorchLayerNorm(name="attn_norm")
         y = _ln_packed(ln, x, self.dim) if self.rayfold else ln(x)
         y = RayAttention(self.dim, self.n_heads, rayfold=self.rayfold,
-                         name="attn")(y, ret_attn=ret_attn)
+                         fused=self.fused, name="attn")(y, ret_attn=ret_attn)
         if ret_attn:
             y, attn = y
         x = y + residue
@@ -299,6 +318,8 @@ class RayTransformer(nn.Module):
                         name="ff")(y)
         x = y + residue
         if ret_attn:
+            if fused:
+                return x, attn  # kernel already emits the [R, S] row mean
             if self.rayfold:
                 # [R/2, 2H, S, S]: heads 0..H-1 are ray A, H..2H-1 ray B ->
                 # per-ray mean over its own heads, first query token's row
@@ -438,6 +459,7 @@ class GNTAggregator(nn.Module):
                     qc = nn.relu(qc) @ wq1.astype(qc.dtype) + bq1.astype(qc.dtype)
                 q = qc
             q = RayTransformer(self.netwidth, rayfold=rayfold,
+                               fused=self.fused_attn,
                                name=f"ray_trans_{i}")(q, ret_attn=self.ret_alpha)
             if self.ret_alpha:
                 q, attn_out = q

@@ -81,3 +81,41 @@ def test_fused_falls_back_on_f64():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)])
+def test_fused_ray_attention_matches_xla(dtype, tol):
+    from nerfool_tpu.models.gnt import RayAttention
+
+    rng = np.random.RandomState(5)
+    r, s, d = 6, 12, 64  # s NOT a multiple of 8: exercises key-pad masking
+    x = jnp.asarray(rng.randn(r, s, d), dtype)
+    mod = RayAttention(d)
+    params = mod.init(jax.random.PRNGKey(1), x)["params"]
+    params = jax.tree.map(lambda p: p.astype(dtype), params)
+    ref, ref_attn = mod.apply({"params": params}, x, ret_attn=True)
+    ref_attn0 = jnp.mean(ref_attn, axis=1)[:, 0]
+    got, got_attn0 = RayAttention(d, fused=True).apply(
+        {"params": params}, x, ret_attn=True)
+    assert got.dtype == ref.dtype
+    for a, b in ((ref, got), (ref_attn0, got_attn0)):
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                    - b.astype(jnp.float32))))
+        scale = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) + 1e-8
+        assert err / scale < tol, (err, scale)
+
+
+def test_fused_ray_transformer_matches_plain():
+    from nerfool_tpu.models.gnt import RayTransformer
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(4, 16, 64), jnp.float32)
+    mod = RayTransformer(64)
+    params = mod.init(jax.random.PRNGKey(2), x, ret_attn=True)["params"]
+    ref, ref_attn = mod.apply({"params": params}, x, ret_attn=True)
+    got, got_attn = mod.clone(fused=True).apply({"params": params}, x,
+                                                ret_attn=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_attn), np.asarray(ref_attn),
+                               atol=3e-6)
