@@ -259,6 +259,16 @@ class AdvEvaluator:
         outside the planned set; some datasets expose no camera inventory)."""
         args = self.args
         base = self.render_cfg
+        # fused GNT attention kernels (ops/{vt,ra}_kernel.py) on the no-grad
+        # whole-image renders: forward-only, so ONLY here — never on the
+        # attack/purification configs, which differentiate. auto = TPU only
+        # (interpret mode crawls on CPU); 'on' forces (CPU tests).
+        fmode = getattr(args, "gnt_fused_attn", "auto")
+        if (args.backbone == "gnt" and fmode != "off"
+                and (fmode == "on" or self.jax.default_backend() == "tpu")):
+            import dataclasses as _dc
+
+            base = _dc.replace(base, gnt_fused_attn=True)
         if not getattr(args, "use_bspg", True):
             return base
         if n_src in self._bspg_cfg:

@@ -179,6 +179,10 @@ def config_parser():
     # whole GNT aggregation — exact, 1.6x on the isolated chain but the entry
     # relayout of the gathered operands loses e2e (BENCH_NOTES r4); opt-in
     parser.add_argument("--gnt_ray_fold", type=int, default=1)
+    # fused Pallas attention kernels for no-grad GNT renders
+    # (ops/vt_kernel.py, ops/ra_kernel.py): auto = TPU only
+    parser.add_argument("--gnt_fused_attn", type=str, default="auto",
+                        choices=("auto", "on", "off"))
     parser.add_argument("--ibrnet_sample_fold", type=int, default=1)
     parser.add_argument("--single_net", type=str2bool, default=True)
     parser.add_argument("--ret_alpha", action="store_true")

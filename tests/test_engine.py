@@ -250,6 +250,27 @@ def test_gnt_rayfold_engine_clean_eval_matches(tmp_path, small_kwargs):
     np.testing.assert_allclose(psnr[2], psnr[1], rtol=0, atol=5e-3)
 
 
+def test_gnt_fused_attn_engine_clean_eval_matches(tmp_path, small_kwargs):
+    """Clean GNT eval through the real evaluator with --gnt_fused_attn on
+    (fused Pallas view/ray attention, interpret mode on CPU) reproduces the
+    XLA-path PSNR — the production-path guard for the fused render kernels."""
+    from nerfool_tpu.attack.engine import AdvEvaluator
+
+    psnr = {}
+    for mode in ("off", "on"):
+        args = _engine_args(tmp_path, backbone="gnt", trans_depth="2",
+                            ret_alpha=True, gnt_fused_attn=mode)
+        args.N_importance = 0
+        args.view_specific = False
+        args.no_attack = True
+        ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+        results = ev.evaluate(out_dir=None, save_images=False, verbose=False,
+                              max_views=1)
+        psnr[mode] = results[args.eval_dataset]["coarse_mean_psnr"]
+    assert np.isfinite(psnr["off"])
+    np.testing.assert_allclose(psnr["on"], psnr["off"], rtol=0, atol=5e-3)
+
+
 def test_engine_lpips_full_path(tmp_path, small_kwargs):
     """The FULL engine LPIPS path with a committed-at-test-time tiny random
     weights file: weights .npz -> _build_lpips -> per-backbone normalization
