@@ -39,6 +39,13 @@ def main():
     bundle = create_model(args=args, backbone=args.backbone,
                           ckpt_path=args.ckpt_path or None)
     render_cfg = default_render_config(args, backbone=args.backbone)
+    fmode = getattr(args, "gnt_fused_attn", "auto")
+    if (args.backbone == "gnt" and fmode != "off"
+            and (fmode == "on" or jax.default_backend() == "tpu")):
+        # video rendering never differentiates: fused attention kernels on
+        import dataclasses
+
+        render_cfg = dataclasses.replace(render_cfg, gnt_fused_attn=True)
 
     out_dir = os.path.join(args.eval_dataset, args.expname + "_video", scene)
     os.makedirs(out_dir, exist_ok=True)
