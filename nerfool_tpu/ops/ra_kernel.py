@@ -25,6 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from nerfool_tpu.ops.vt_kernel import _mm, _prec
 
@@ -107,6 +108,8 @@ def fused_ray_attention(x, wqkv, wo, bo, n_heads: int = 4,
             jax.ShapeDtypeStruct((rpad, spad, d), dt),
             jax.ShapeDtypeStruct((rpad, spad), dt),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(x, wqkv.astype(dt), wo.astype(dt), bo2)
     return out[:r, :s], attn0[:r, :s]

@@ -48,29 +48,31 @@ def _mm(a, b, prec):
 def _vt_kernel(qln_ref, k_ref, pos_ref, mask_ref,
                wq_ref, wkv_ref, wp0_ref, bp0_ref, wp1_ref, bp1_ref,
                wa0_ref, ba0_ref, wa1_ref, ba1_ref, wo_ref, bo_ref,
-               out_ref, attn_scr, vp_scr):
-    # qln [T, D]; k [V, T, D]; pos [V, T, 4]; mask [V, T, 1]
+               out_ref):
+    # qln [T, D]; k [V, T, D]; pos [V, T, 4]; mask [V, T, 1].
+    # Every stage runs as ONE [V*T, .] op: the view axis merges into the
+    # matmul M dim via free major-dim reshapes (no per-view loop — Mosaic
+    # vectorizes big ops better and the MXU sees M = V*T rows).
     dt = k_ref.dtype
     prec = _prec(dt)
-    d = qln_ref.shape[-1]
-    n_views = k_ref.shape[0]
-    qp = _mm(qln_ref[...], wq_ref[...], prec)
-    for i in range(n_views):  # static unroll: V is small (<= ~16)
-        kv = _mm(k_ref[i], wkv_ref[...], prec)  # [T, 2D] (kp | v)
-        kp, vv = kv[:, :d], kv[:, d:]
-        p = _mm(pos_ref[i], wp0_ref[...], prec) + bp0_ref[...]
-        p = _mm(jnp.maximum(p, 0), wp1_ref[...], prec) + bp1_ref[...]
-        a = kp - qp + p
-        a = _mm(a, wa0_ref[...], prec) + ba0_ref[...]
-        a = _mm(jnp.maximum(a, 0), wa1_ref[...], prec) + ba1_ref[...]
-        a = jnp.where(mask_ref[i] == 0, jnp.asarray(-1e9, dt), a)
-        attn_scr[i] = a
-        vp_scr[i] = vv + p
-    a = attn_scr[...]  # [V, T, D]
+    v, t, d = k_ref.shape
+    qp = _mm(qln_ref[...], wq_ref[...], prec)  # [T, D]
+    kv = _mm(k_ref[...].reshape(v * t, d), wkv_ref[...], prec)  # [VT, 2D]
+    kp, vv = kv[:, :d], kv[:, d:]
+    p = _mm(pos_ref[...].reshape(v * t, -1), wp0_ref[...], prec) + bp0_ref[...]
+    p = _mm(jnp.maximum(p, 0), wp1_ref[...], prec) + bp1_ref[...]
+    a = (kp.reshape(v, t, d) - qp[None] + p.reshape(v, t, d)).reshape(v * t, d)
+    a = _mm(a, wa0_ref[...], prec) + ba0_ref[...]
+    a = _mm(jnp.maximum(a, 0), wa1_ref[...], prec) + ba1_ref[...]
+    # compare in f32: Mosaic has no bf16 vector cmp ("Target does not
+    # support this comparison"); mask values are exact 0/1 either way
+    a = jnp.where(mask_ref[...].reshape(v * t, 1).astype(jnp.float32) == 0,
+                  jnp.asarray(-1e9, dt), a)
+    a = a.reshape(v, t, d)
     m = jnp.max(a, axis=0)
     e = jnp.exp(a - m[None])
     w = e / jnp.sum(e, axis=0)[None]
-    x = jnp.sum(vp_scr[...] * w, axis=0)  # [T, D]
+    x = jnp.sum((vv + p).reshape(v, t, d) * w, axis=0)  # [T, D]
     out_ref[...] = _mm(x, wo_ref[...], prec) + bo_ref[...]
 
 
@@ -113,10 +115,8 @@ def fused_view_attention(qln, k, pos, mask, wq, wkv, wp0, bp0, wp1, bp1,
         ] + wspec,
         out_specs=pl.BlockSpec((t, d), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((npad, d), dt),
-        scratch_shapes=[
-            pltpu.VMEM((v, t, d), dt),
-            pltpu.VMEM((v, t, d), dt),
-        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(qln, k, pos, mask, *weights)
     return out[:n]
