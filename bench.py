@@ -164,6 +164,8 @@ def main():
         reuse_fine_taps=REUSE_TAPS,
         gnt_fused_attn=(BACKBONE == "gnt"
                         and os.environ.get("BENCH_GNT_FUSED", "1") == "1"),
+        gnt_fused_vt=(BACKBONE == "gnt"
+                      and os.environ.get("BENCH_GNT_FUSED_VT", "0") == "1"),
     )
 
     src_rgbs_j = jnp.asarray(src_rgbs)
@@ -339,7 +341,8 @@ def main():
     # render keeps the per-tap XLA gather path
     attack_render_cfg = dataclasses.replace(cfg, compute_dtype=ATTACK_DTYPE,
                                             bspg_specs=None,
-                                            gnt_fused_attn=False)
+                                            gnt_fused_attn=False,
+                                            gnt_fused_vt=False)
     if os.environ.get("BENCH_ATTACK_SPG", "0") == "1":
         # per-RAY segment-patch gather for the random-pixel attack batches
         from nerfool_tpu.ops.spg import plan_attack_specs

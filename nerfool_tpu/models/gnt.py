@@ -347,10 +347,15 @@ class GNTAggregator(nn.Module):
     # otherwise) and takes precedence over sample_fold. Neutral (1) here;
     # the bundle/CLI default is 2 (the measured production path).
     ray_fold: int = 1
-    # route the unfolded view attention through the fused Pallas kernel
-    # (forward-only; see ViewAttention.fused). Set via module.clone on the
-    # no-grad render path — RenderConfig.gnt_fused_attn.
+    # route the unfolded RAY attention through the fused Pallas kernel
+    # (forward-only; see RayAttention.fused — measured 1.6x at flagship
+    # block shapes). Set via module.clone on the no-grad render path —
+    # RenderConfig.gnt_fused_attn.
     fused_attn: bool = False
+    # fused VIEW attention kernel (ViewAttention.fused): currently SLOWER
+    # than XLA's fusion at D=64 (half-filled 128-lane registers dominate,
+    # probe_kernel_micro) — experimental, off by default
+    fused_vt: bool = False
 
     @nn.compact
     def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d,
@@ -442,7 +447,7 @@ class GNTAggregator(nn.Module):
         attn_out = None
         for i in range(self.trans_depth):
             q = ViewTransformer(self.netwidth, fold=fold, rayfold=rayfold,
-                                fused=self.fused_attn,
+                                fused=self.fused_vt,
                                 name=f"view_trans_{i}")(q, x, ray_diff, mask)
             if i % 2 == 0:
                 # per-ray encoding width (63); packed tensors carry 2 rays

@@ -80,11 +80,14 @@ class RenderConfig:
     # S+I rows per (ray, view) to K ~ 8-24 patch rows. (spec_feat, spec_rgb)
     # static SPGSpec pair from the host planner; None keeps per-tap.
     spg_specs: Optional[tuple] = None
-    # route the GNT view attention through the fused Pallas kernel
-    # (ops/vt_kernel.py): one HBM pass over the [V,R,S,D] operand per depth
-    # instead of XLA's ~13. FORWARD-ONLY (no VJP) — enable on no-grad render
-    # paths only; f64 inputs fall back inside the module (parity tests)
+    # route the GNT RAY attention through the fused Pallas kernel
+    # (ops/ra_kernel.py — no [R,H,S,S] score materialization; measured 1.6x
+    # per block). FORWARD-ONLY (no VJP) — enable on no-grad render paths
+    # only; f64 inputs fall back inside the module (parity tests)
     gnt_fused_attn: bool = False
+    # fused VIEW attention kernel (ops/vt_kernel.py): currently loses to
+    # XLA's fusion at D=64 (probe_kernel_micro) — experimental
+    gnt_fused_vt: bool = False
 
 
 def make_shade_fn(model, cfg: RenderConfig) -> Callable:
@@ -102,7 +105,8 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
                   inputs_packed=False):
             if (cfg.gnt_fused_attn
                     and getattr(agg_module, "fused_attn", True) is False):
-                agg_module = agg_module.clone(fused_attn=True)
+                agg_module = agg_module.clone(fused_attn=True,
+                                              fused_vt=cfg.gnt_fused_vt)
             return agg_module.apply(
                 {"params": agg_params}, rgb_feat, ray_diff, mask, pts, ray_d,
                 inputs_packed=inputs_packed,

@@ -45,8 +45,10 @@ def main():
 
     fns = {
         "xla": jax.jit(lambda p, *a: mod.apply({"params": p}, *a)),
-        "fused": jax.jit(lambda p, *a: mod.clone(fused_attn=True).apply(
-            {"params": p}, *a)),
+        "fused": jax.jit(lambda p, *a: mod.clone(
+            fused_attn=True,
+            fused_vt=os.environ.get("PROBE_FUSED_VT", "0") == "1",
+        ).apply({"params": p}, *a)),
     }
     args = (params, rgb_feat, ray_diff, mask, pts, ray_d)
     outs = {}

@@ -60,7 +60,7 @@ def test_fused_aggregator_matches_plain():
     params = mod.init(jax.random.PRNGKey(3), rgb_feat, ray_diff, mask, pts,
                       ray_d)["params"]
     ref = mod.apply({"params": params}, rgb_feat, ray_diff, mask, pts, ray_d)
-    got = mod.clone(fused_attn=True).apply(
+    got = mod.clone(fused_attn=True, fused_vt=True).apply(
         {"params": params}, rgb_feat, ray_diff, mask, pts, ray_d)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5,
                                rtol=1e-4)
