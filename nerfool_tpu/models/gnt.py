@@ -30,6 +30,8 @@ Two exact TPU packings of the same math (same param tree, checkpoint-identical):
 """
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -147,7 +149,8 @@ class ViewAttention(nn.Module):
                 q.reshape(r * s, d), k.reshape(v, r * s, d),
                 pos.reshape(v, r * s, pos.shape[-1]),
                 mask.reshape(v, r * s, 1), wq, wkv, wp0, bp0, wp1, bp1,
-                wa0, ba0, wa1, ba1, wo, bo)
+                wa0, ba0, wa1, ba1, wo, bo,
+                lane_pack=os.environ.get("NERFOOL_VT_LANEPACK", "0") == "1")
             return out.reshape(r, s, d)
 
         if not (self.fold or self.rayfold):

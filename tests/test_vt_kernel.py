@@ -33,6 +33,47 @@ def test_fused_view_attention_matches_xla(dtype, tol):
     assert err / scale < tol, (err, scale)
 
 
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)])
+def test_lane_packed_view_attention_matches_xla(dtype, tol):
+    # r*s odd -> exercises the odd-row zero-pad half
+    from nerfool_tpu.ops.vt_kernel import fused_view_attention
+
+    rng = np.random.RandomState(7)
+    q, k, pos, mask = _va_inputs(rng, v=4, r=3, s=5, d=64, dtype=dtype)
+    mod = ViewAttention(64)
+    params = mod.init(jax.random.PRNGKey(1), q, k, pos, mask)["params"]
+    params = jax.tree.map(lambda p: p.astype(dtype), params)
+    ref = mod.apply({"params": params}, q, k, pos, mask)
+    p = params
+    wkv = jnp.concatenate([p["k_fc"]["kernel"],
+                           p["k_fc"]["kernel"] @ p["v_fc"]["kernel"]], -1)
+    got = fused_view_attention(
+        q.reshape(15, 64), k.reshape(4, 15, 64), pos.reshape(4, 15, 4),
+        mask.reshape(4, 15, 1), p["q_fc"]["kernel"], wkv,
+        p["pos_fc0"]["kernel"], p["pos_fc0"]["bias"],
+        p["pos_fc1"]["kernel"], p["pos_fc1"]["bias"],
+        p["attn_fc0"]["kernel"], p["attn_fc0"]["bias"],
+        p["attn_fc1"]["kernel"], p["attn_fc1"]["bias"],
+        p["out_fc"]["kernel"], p["out_fc"]["bias"],
+        lane_pack=True).reshape(3, 5, 64)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-8
+    assert err / scale < tol, (err, scale)
+
+
+def test_lane_packed_env_route_matches_plain(monkeypatch):
+    monkeypatch.setenv("NERFOOL_VT_LANEPACK", "1")
+    rng = np.random.RandomState(8)
+    q, k, pos, mask = _va_inputs(rng, v=3, r=4, s=8)
+    mod = ViewAttention(64)
+    params = mod.init(jax.random.PRNGKey(1), q, k, pos, mask)["params"]
+    ref = mod.apply({"params": params}, q, k, pos, mask)
+    got = ViewAttention(64, fused=True).apply({"params": params}, q, k, pos,
+                                              mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_fused_view_attention_fully_masked_rows_finite():
     # rows where every view is masked out: the XLA path softmaxes a uniform
     # -1e9 row to 1/V weights; the kernel must do the same (no NaN)
