@@ -310,7 +310,9 @@ def main():
             # render time is explained by unavoidable operand traffic
             from nerfool_tpu.utils.roofline import gnt_aggregation_traffic
 
-            agg = gnt_aggregation_traffic(N_SRC, n_rays, N_SAMPLES)
+            agg = gnt_aggregation_traffic(N_SRC, n_rays, N_SAMPLES,
+                                          fused_ra=cfg.gnt_fused_attn,
+                                          fused_vt=cfg.gnt_fused_vt)
             if agg["floor_s"]:
                 agg["pct_of_floor"] = round(100.0 * agg["floor_s"] / rend_s, 1)
             roofline["gnt_aggregation"] = agg

@@ -97,7 +97,7 @@ def phase_report(seconds, flops=None, bytes_accessed=None, executions=1,
 
 
 def gnt_aggregation_traffic(v, r, s, d=64, depth=8, bytes_per_el=2,
-                            heads=4):
+                            heads=4, fused_ra=False, fused_vt=False):
     """Analytic HBM-traffic floor of the GNT aggregation chain (per ray
     batch), assuming perfect producer->consumer fusion (each materialized
     operand crosses HBM once per read and once per write — a LOWER bound on
@@ -114,17 +114,31 @@ def gnt_aggregation_traffic(v, r, s, d=64, depth=8, bytes_per_el=2,
     double lane width, attacking the VPU 64-lane padding waste, so its win
     shows up as a higher %-of-floor, not a lower floor.
 
+    ``fused_ra`` (ops/ra_kernel.py, the shipped no-grad render default):
+    scores never leave VMEM and the q-side attention chain collapses to one
+    read + one write, leaving ~2 q-side passes for attention plus ~4 for the
+    block's LN/FF. ``fused_vt`` (ops/vt_kernel.py): the view-side chain
+    collapses to one read of k/pos/mask plus the D-wide output write —
+    ~1.5 big-operand passes per depth instead of 13.
+
     :return: dict with total_gb and the floor seconds at the chip's peak
         HBM bandwidth (None off-TPU)
     """
     big = float(v) * r * s * d * bytes_per_el
     qside = float(r) * s * d * bytes_per_el
     score = float(r) * heads * s * s * bytes_per_el
-    per_block = 13.0 * big + 5.0 * score + 6.0 * qside
+    vt_passes = 1.5 if fused_vt else 13.0
+    score_passes = 0.0 if fused_ra else 5.0
+    # of the ~6 q-side passes, ~4 are the attention chain (collapsing to
+    # 1R+1W inside the kernel); the block's LN/FF stay XLA either way
+    qside_passes = 4.0 if fused_ra else 6.0
+    per_block = (vt_passes * big + score_passes * score
+                 + qside_passes * qside)
     total = depth * per_block + 3.0 * big  # + entry rgbfeat MLP passes
     _, _, peak_gb = chip_specs()
     return {
         "total_gb": round(total / 1e9, 1),
+        "fused_ra": fused_ra, "fused_vt": fused_vt,
         "floor_s": round(total / (peak_gb * 1e9), 3) if peak_gb else None,
     }
 

@@ -63,7 +63,11 @@ def main():
     assert specs is not None
     import dataclasses
     base = dataclasses.replace(base, bspg_specs=specs, bspg_pallas=True)
-    cfgs = {0: base, 1: dataclasses.replace(base, gnt_fused_attn=True)}
+    # PROBE_FUSED_VT=1 makes the fused variant also route view attention
+    # through vt_kernel (with NERFOOL_VT_LANEPACK=1 for the lane-packed one)
+    cfgs = {0: base, 1: dataclasses.replace(
+        base, gnt_fused_attn=True,
+        gnt_fused_vt=os.environ.get("PROBE_FUSED_VT", "0") == "1")}
 
     intr = target_cam[2:18].reshape(4, 4)
     c2w = target_cam[18:34].reshape(4, 4)
