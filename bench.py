@@ -341,10 +341,13 @@ def main():
     # f32 is the parity default; the BSPG selection kernel is forward-only
     # (no VJP) and needs block-major rays, so the attack's differentiated
     # render keeps the per-tap XLA gather path
-    attack_render_cfg = dataclasses.replace(cfg, compute_dtype=ATTACK_DTYPE,
-                                            bspg_specs=None,
-                                            gnt_fused_attn=False,
-                                            gnt_fused_vt=False)
+    attack_render_cfg = dataclasses.replace(
+        cfg, compute_dtype=ATTACK_DTYPE, bspg_specs=None,
+        # BENCH_GNT_FUSED_ATTACK=1: the ray-attention kernel's custom VJP
+        # (fused_ray_attention_ad) in the differentiated step
+        gnt_fused_attn=(BACKBONE == "gnt" and os.environ.get(
+            "BENCH_GNT_FUSED_ATTACK", "0") == "1"),
+        gnt_fused_vt=False)
     if os.environ.get("BENCH_ATTACK_SPG", "0") == "1":
         # per-RAY segment-patch gather for the random-pixel attack batches
         from nerfool_tpu.ops.spg import plan_attack_specs

@@ -184,6 +184,16 @@ class AdvEvaluator:
         with V (measured crossover: BENCH_NOTES attack-gather section)."""
         args = self.args
         base = self.render_cfg
+        # --gnt_fused_attack: the ray-attention kernel now has a custom VJP
+        # (ops/ra_kernel.fused_ray_attention_ad), so the differentiated
+        # attack steps may opt into the fusion (TPU only; off by default
+        # pending hardware A/B)
+        if (args.backbone == "gnt"
+                and getattr(args, "gnt_fused_attack", False)
+                and self.jax.default_backend() == "tpu"):
+            import dataclasses as _dc
+
+            base = _dc.replace(base, gnt_fused_attn=True)
         mode = getattr(args, "attack_gather", "auto")
         want_spg = getattr(args, "attack_spg", False) or mode == "spg" or (
             mode == "auto"

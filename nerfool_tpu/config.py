@@ -183,6 +183,10 @@ def config_parser():
     # (ops/vt_kernel.py, ops/ra_kernel.py): auto = TPU only
     parser.add_argument("--gnt_fused_attn", type=str, default="auto",
                         choices=("auto", "on", "off"))
+    # also route the DIFFERENTIATED attack/purification steps through the
+    # fused ray-attention kernel (fused_ray_attention_ad custom VJP:
+    # flash-style recompute backward). Off pending hardware A/B.
+    parser.add_argument("--gnt_fused_attack", type=str2bool, default=False)
     parser.add_argument("--ibrnet_sample_fold", type=int, default=1)
     parser.add_argument("--single_net", type=str2bool, default=True)
     parser.add_argument("--ret_alpha", action="store_true")

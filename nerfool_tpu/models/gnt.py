@@ -253,12 +253,15 @@ class RayAttention(nn.Module):
         wv, _ = _Kernel(din, self.dim, use_bias=False, name="v_fc")()
         if (self.fused and not self.rayfold
                 and jnp.dtype(x.dtype) != jnp.float64):
-            from nerfool_tpu.ops.ra_kernel import fused_ray_attention
+            # the _ad wrapper is the same forward kernel plus a custom VJP
+            # (flash-style recompute backward), so this branch is safe under
+            # jax.grad — the attack/purification gates can opt in
+            from nerfool_tpu.ops.ra_kernel import fused_ray_attention_ad
 
             wo, bo = _Kernel(self.dim, self.dim, name="out_fc")()
             wqkv = jnp.concatenate([wq, wk, wv], axis=-1)
-            out, attn0 = fused_ray_attention(x, wqkv, wo, bo,
-                                             n_heads=self.n_heads)
+            out, attn0 = fused_ray_attention_ad(x, wqkv, wo, bo,
+                                                self.n_heads, 16)
             if ret_attn:
                 return out, attn0
             return out

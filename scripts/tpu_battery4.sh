@@ -45,4 +45,9 @@ run bench_ibrnet python bench.py
 run bench_gnt env BENCH_BACKBONE=gnt BENCH_NSAMPLES=192 \
     BENCH_NIMPORTANCE=0 BENCH_SECONDARY=none python bench.py
 
+# 5. GNT attack step with the fused ray-attention custom VJP vs plain
+run bench_gnt_atkfused env BENCH_BACKBONE=gnt BENCH_NSAMPLES=192 \
+    BENCH_NIMPORTANCE=0 BENCH_SECONDARY=none BENCH_GNT_FUSED_ATTACK=1 \
+    BENCH_ATTACK_ITERS=10 python bench.py
+
 echo "battery4 done $(date +%H:%M:%S)"
