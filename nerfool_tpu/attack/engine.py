@@ -166,6 +166,21 @@ class AdvEvaluator:
             src["depths"] = jnp.asarray(np.asarray(data["src_depths"]))
         return src
 
+    def _grad_render_cfg(self):
+        """Base render config for DIFFERENTIATED steps (attack /
+        purification). --gnt_fused_attack: the ray-attention kernel has a
+        custom VJP (ops/ra_kernel.fused_ray_attention_ad), so these steps
+        may opt into the fusion (TPU only; off by default pending hardware
+        A/B)."""
+        args = self.args
+        if (args.backbone == "gnt"
+                and getattr(args, "gnt_fused_attack", False)
+                and self.jax.default_backend() == "tpu"):
+            import dataclasses as _dc
+
+            return _dc.replace(self.render_cfg, gnt_fused_attn=True)
+        return self.render_cfg
+
     def _attack_render_cfg(self, extra_datasets=()):
         """Render config for ATTACK steps: with --attack_spg, the per-ray
         segment-patch gather is planned ONCE over every camera the attack may
@@ -183,17 +198,7 @@ class AdvEvaluator:
         view count grows while the per-tap random-row gather scales linearly
         with V (measured crossover: BENCH_NOTES attack-gather section)."""
         args = self.args
-        base = self.render_cfg
-        # --gnt_fused_attack: the ray-attention kernel now has a custom VJP
-        # (ops/ra_kernel.fused_ray_attention_ad), so the differentiated
-        # attack steps may opt into the fusion (TPU only; off by default
-        # pending hardware A/B)
-        if (args.backbone == "gnt"
-                and getattr(args, "gnt_fused_attack", False)
-                and self.jax.default_backend() == "tpu"):
-            import dataclasses as _dc
-
-            base = _dc.replace(base, gnt_fused_attn=True)
+        base = self._grad_render_cfg()
         mode = getattr(args, "attack_gather", "auto")
         want_spg = getattr(args, "attack_spg", False) or mode == "spg" or (
             mode == "auto"
@@ -568,7 +573,8 @@ class AdvEvaluator:
             use_self_purification=args.use_self_purification,
             purif_consistency_loss=args.purif_consistency_loss,
         )
-        init_state, step = make_purify_step(self.bundle, self.render_cfg, cfg)
+        init_state, step = make_purify_step(self.bundle,
+                                            self._grad_render_cfg(), cfg)
         step = self.jax.jit(step)
         state = init_state(self._split(), src["rgbs"], delta)
         keys = self.jax.random.split(self._split(), args.purif_iters)
