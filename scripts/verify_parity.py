@@ -99,6 +99,16 @@ else:
     # the pip `lpips` stub raises on call; make it report NaN instead
     sys.modules['lpips'].LPIPS.__call__ = (
         lambda self, *a, **k: torch.tensor(float('nan')))
+# legacy-imageio compat: the reference writes float32 arrays
+# (eval/gnt/eval_adv.py:1166); imageio>=2.28 refuses them
+import numpy as np, imageio
+_imw = imageio.imwrite
+def _compat_imwrite(uri, im, *a, **k):
+    im = np.asarray(im)
+    if im.dtype.kind == 'f':
+        im = (255 * np.clip(im, 0, 1)).astype('uint8')
+    return _imw(uri, im, *a, **k)
+imageio.imwrite = _compat_imwrite
 sys.argv = ['eval_adv.py'] + sys.argv[4:]
 import runpy
 runpy.run_path(os.path.join(REF, 'eval', STACK, 'eval_adv.py'),
@@ -107,16 +117,26 @@ runpy.run_path(os.path.join(REF, 'eval', STACK, 'eval_adv.py'),
 
 
 def make_fixture(workdir, backbone):
-    """Tiny LLFF-format scene + random reference-format checkpoint."""
+    """Tiny LLFF-format scene + random reference-format checkpoint.
+
+    The reference GNT loader hardcodes ``factor=4``
+    (/root/reference/gnt/data_loaders/llff_test.py:58) and its ``_minify``
+    needs ImageMagick, so for the gnt backbone the fixture writes the working
+    40x48 images into ``images_4/`` (both stacks read that dir verbatim at
+    factor 4) plus a nearest-upscaled ``images/`` with hwf scaled x4.
+    """
     import imageio.v2 as imageio
     import numpy as np
 
+    factor = 4 if backbone == "gnt" else 1
     scene_dir = os.path.join(workdir, "data", "nerf_llff_data", "fixscene")
     # reference load_from_ckpt parses the step from the last 6 chars
     # (model.py:185), so the filename must be model_<6 digits>.pth
     ckpt = os.path.join(workdir, "pretrained", backbone, "model_000001.pth")
     if not os.path.isdir(scene_dir):
         os.makedirs(os.path.join(scene_dir, "images"))
+        if factor != 1:
+            os.makedirs(os.path.join(scene_dir, f"images_{factor}"))
         rng = np.random.RandomState(0)
         n, h, w = 10, 40, 48
         poses = []
@@ -129,14 +149,24 @@ def make_fixture(workdir, backbone):
             img = np.einsum("hwcij,ij->hwc",
                             sliding_window_view(img, (9, 9), axis=(0, 1)), k)
             img = (img - img.min()) / (np.ptp(img) + 1e-9)
-            imageio.imwrite(os.path.join(scene_dir, "images", f"im{i:03d}.png"),
-                            (img * 255).astype(np.uint8))
+            img8 = (img * 255).astype(np.uint8)
+            if factor == 1:
+                imageio.imwrite(
+                    os.path.join(scene_dir, "images", f"im{i:03d}.png"), img8)
+            else:
+                imageio.imwrite(os.path.join(scene_dir, f"images_{factor}",
+                                             f"im{i:03d}.png"), img8)
+                up = np.repeat(np.repeat(img8, factor, 0), factor, 1)
+                imageio.imwrite(
+                    os.path.join(scene_dir, "images", f"im{i:03d}.png"), up)
             # LLFF pose convention [down right back] + hwf column
             theta = (i / n - 0.5) * 0.4
             c2w = np.eye(4)
             c2w[:3, 3] = [np.sin(theta) * 2, 0.1 * np.sin(i), -0.2 * np.cos(theta)]
             poses.append(np.concatenate(
-                [c2w[:3, :4], np.array([[h], [w], [60.0]])], axis=1).reshape(-1))
+                [c2w[:3, :4],
+                 np.array([[h * factor], [w * factor], [60.0 * factor]])],
+                axis=1).reshape(-1))
         bounds = np.stack([np.full(n, 2.0), np.full(n, 12.0)], -1)
         np.save(os.path.join(scene_dir, "poses_bounds.npy"),
                 np.concatenate([np.stack(poses), bounds], axis=1))
@@ -191,6 +221,9 @@ def build_flags(a, run, ckpt):
         "--epsilon", "8", "--adv_lr", "1",
         "--use_adam", "--adam_lr", "1e-3", "--lr_gamma", "1",
         "--workers", "0",
+        # eval checkpoints carry no optimizer/scheduler state; the reference
+        # GNT evaluator loads both unless told not to (gnt/model.py:143-145)
+        "--no_load_opt", "--no_load_scheduler",
     ]
     if a.inv_uniform:
         flags.append("--inv_uniform")
@@ -205,29 +238,22 @@ def build_flags(a, run, ckpt):
     return flags
 
 
-def gnt_ref_flags(flags):
-    """The gnt parser's --single_net is store_true-like via its config;
-    translate repo-style 'flag value' booleans."""
-    out, skip = [], False
-    for i, f in enumerate(flags):
-        if skip:
-            skip = False
-            continue
-        if f == "--single_net":
-            out.append("--single_net")
-            skip = True
-        else:
-            out.append(f)
-    return out
-
-
 def run_reference(a, flags, run):
+    # NOTE: the reference GNT parser declares --single_net with type=bool
+    # (/root/reference/eval/gnt/config.py:113-117), which REQUIRES a value —
+    # our repo-style "--single_net True" is already the correct form for it.
+    # Do not strip flag values here (a round-4 helper doing so broke the
+    # GNT branch: the reference died with "expected one argument").
     env = dict(os.environ)
     env.setdefault("CUDA_VISIBLE_DEVICES", "")
     cwd = os.path.join(a.workdir, "ref")
     os.makedirs(cwd, exist_ok=True)
     if a.backbone == "gnt":
-        flags = gnt_ref_flags(flags)
+        # The reference GNT parser has no --llff_factor; its loader hardcodes
+        # factor=4 (gnt/data_loaders/llff_test.py:58). build_flags keeps the
+        # flag for OUR parser; drop it (and its value) here.
+        i = flags.index("--llff_factor")
+        flags = flags[:i] + flags[i + 2:]
     cmd = [sys.executable, "-c", REF_DRIVER, REPO, REFERENCE, a.backbone] + flags
     print(f"[reference/{run}] {' '.join(cmd[-12:])}")
     res = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True,
@@ -322,7 +348,9 @@ def main():
         if a.backbone == "gnt":
             a.N_importance = 0
         a.chunk_size, a.N_rand, a.trans_depth = 512, 64, 2
-        a.num_source_views, a.llff_factor = 4, 1
+        # gnt: the reference side always loads at factor 4 (see make_fixture)
+        a.num_source_views = 4
+        a.llff_factor = 4 if a.backbone == "gnt" else 1
         a.adv_iters = a.adv_iters or 6
 
     rows = []
