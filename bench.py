@@ -44,7 +44,8 @@ BSPG_BLOCK = int(os.environ.get("BENCH_BSPG_BLOCK", "8"))  # pixel block edge
 
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[t={time.perf_counter()-T_START:5.0f}s]", *a,
+          file=sys.stderr, flush=True)
 
 
 def build_scene():
@@ -101,6 +102,22 @@ def build_scene():
     return cams, depth_range
 
 
+T_START = time.perf_counter()
+# Driver budget guard (VERDICT r4 item 1): BENCH_r04 hit the driver's
+# timeout (rc=124) before the GNT secondary ever ran. The budget below is
+# a conservative estimate of the driver's allowance; sections are ordered
+# by importance (IBRNet render -> GNT secondary -> attack -> scan A/B) and
+# the later ones are skipped when the remaining budget is short. The
+# persistent compilation cache (jax_compilation_cache_dir below, verified
+# working across processes on the axon relay) makes warm-cache runs fit
+# comfortably.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+
+
+def t_rem() -> float:
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
 def _probe_backend(timeout_s: int) -> bool:
     """Device init in a SUBPROCESS with a timeout: a down TPU relay makes
     jax.devices() hang indefinitely, which would hang the whole benchmark
@@ -140,7 +157,7 @@ def main():
     from nerfool_tpu.render.render_rays import RenderConfig
     from nerfool_tpu.utils.cameras import get_rays
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}")  # t shows probe+init cost
     rng = np.random.RandomState(0)
     cams, depth_range = build_scene()
     target_cam, src_cams = cams[0], cams[1:]
@@ -166,6 +183,8 @@ def main():
                         and os.environ.get("BENCH_GNT_FUSED", "1") == "1"),
         gnt_fused_vt=(BACKBONE == "gnt"
                       and os.environ.get("BENCH_GNT_FUSED_VT", "0") == "1"),
+        gnt_fused_vt_lp=(BACKBONE == "gnt"
+                         and os.environ.get("NERFOOL_VT_LANEPACK", "0") == "1"),
     )
 
     src_rgbs_j = jnp.asarray(src_rgbs)
@@ -214,6 +233,15 @@ def main():
             rays_d = rays_d[jnp.asarray(perm)]
             n_rays = rays_o.shape[0]
 
+    # BENCH_RENDER_RAYS>0 caps the measured ray count (block-major prefix —
+    # a representative sub-frame): the GNT secondary uses this to fit the
+    # driver budget; rays/s is per-ray so the metric stays comparable
+    rays_cap = int(os.environ.get("BENCH_RENDER_RAYS", "0"))
+    if rays_cap > 0 and rays_cap < n_rays:
+        rays_cap = max(CHUNK, rays_cap // CHUNK * CHUNK)
+        rays_o, rays_d = rays_o[:rays_cap], rays_d[:rays_cap]
+        n_rays = rays_cap
+        log(f"render ray cap: {n_rays} rays")
     batch = {
         "ray_o": rays_o, "ray_d": rays_d,
         "depth_range": jnp.asarray(depth_range),
@@ -254,7 +282,7 @@ def main():
     log(f"render compile+first run: {compile_s:.2f}s")
 
     times = []
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "3"))):
         t0 = time.perf_counter()
         feats2 = extract(bundle.params["feature_net"], src_rgbs_j)
         out = render(bundle.render_params, batch, src_rgbs_j, src_cams_j, feats2)
@@ -280,6 +308,7 @@ def main():
         feat_s = (time.perf_counter() - t0) / 3
         f_fl, f_by = program_costs(
             extract.lower(bundle.params["feature_net"], src_rgbs_j))
+        log("roofline: featmap costs done")
         roofline["feature_net"] = dict(
             phase_report(feat_s, f_fl, f_by),
             ms=round(feat_s * 1e3, 1),
@@ -299,6 +328,7 @@ def main():
         r_fl, r_by = program_costs(fn.lower(
             bundle.render_params, sub, feats, src_rgbs_j, src_cams_j,
             None, None))
+        log("roofline: render costs done")
         roofline["render"] = dict(
             phase_report(rend_s, r_fl, r_by, executions=n_pad // seg),
             ms=round(rend_s * 1e3, 1),
@@ -335,6 +365,43 @@ def main():
 
     if os.environ.get("BENCH_RENDER_ONLY", "0") == "1":
         return  # sweep mode: skip the attack sections (and their compiles)
+
+    # ---- secondary backbone (GNT-full render, fused attention on, with its
+    # roofline row) IMMEDIATELY after the IBRNet headline and BEFORE the
+    # attack sections (VERDICT r4 item 1: BENCH_r01-r04 never captured a GNT
+    # number because this ran last and the driver budget expired first).
+    # Subprocess = own device-memory lifetime; merges into our headline.
+    if (os.environ.get("BENCH_SECONDARY", "gnt") == "gnt"
+            and BACKBONE == "ibrnet" and t_rem() > 120):
+        import subprocess
+        env = dict(os.environ, BENCH_BACKBONE="gnt", BENCH_NSAMPLES="192",
+                   BENCH_NIMPORTANCE="0", BENCH_RENDER_ONLY="1",
+                   BENCH_SECONDARY="0", BENCH_PROBE_TIMEOUT="0",
+                   # sub-frame + fewer repeats: fits the driver budget at
+                   # GNT-full throughput (~10-15k rays/s)
+                   BENCH_RENDER_RAYS=os.environ.get(
+                       "BENCH_GNT_RAYS", "262144"),
+                   BENCH_REPEATS=os.environ.get("BENCH_GNT_REPEATS", "2"))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True,
+                timeout=max(120, min(1800, t_rem() - 45)),
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            log(r.stderr[-2000:])
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            headline["secondary_gnt"] = json.loads(line)
+        except Exception as e:
+            log(f"secondary gnt bench failed: {type(e).__name__}: {e}")
+            headline["secondary_gnt"] = None
+        print(json.dumps(headline), flush=True)
+    elif BACKBONE == "ibrnet":
+        log(f"secondary gnt bench skipped (budget: {t_rem():.0f}s left)")
+
+    if t_rem() < 75:
+        log(f"budget: {t_rem():.0f}s left — skipping attack sections")
+        return
 
     # ---- attack step benchmark (f32 render config: the parity path)
     import dataclasses
@@ -398,8 +465,33 @@ def main():
         f"{attack_s*1e3:.1f} ms/iter -> "
         f"{attack_ips:.2f} iters/s (1000-iter attack in {1000*attack_s:.0f}s)")
 
-    # grouped scan: the engine's production path (one device execution per
-    # scan_group iterations; removes the per-iter dispatch idle)
+    # attack-step roofline (fwd+bwd through feature net + renderer)
+    try:
+        a_fl, a_by = program_costs(step.lower(
+            init_attack_state(jax.random.PRNGKey(1), acfg, a_rgbs),
+            target, src, jax.random.PRNGKey(2)))
+        roofline["attack_step"] = dict(
+            phase_report(attack_s, a_fl, a_by),
+            ms=round(attack_s * 1e3, 1),
+            note="f32 parity path: at most ~1/3 of bf16 peak"
+            if ATTACK_DTYPE == "float32" else None,
+        )
+        log("roofline/attack: " + json.dumps(roofline["attack_step"]))
+    except Exception as e:
+        log(f"attack roofline accounting failed: {type(e).__name__}: {e}")
+
+    headline["attack_ms_per_iter"] = round(attack_s * 1e3, 1)
+    # merged line: drivers taking the last JSON line get the attack +
+    # secondary picture even if the scan A/B below is skipped/killed
+    print(json.dumps(headline), flush=True)
+
+    # ---- grouped scan A/B: the engine's production path (one device
+    # execution per scan_group iterations; removes per-iter dispatch idle).
+    # Known slower on the single-chip relay (BENCH_NOTES r3/r4) — lowest
+    # priority, so it is the section the budget guard sacrifices first.
+    if t_rem() < 75:
+        log(f"budget: {t_rem():.0f}s left — skipping attack scan A/B")
+        return
     from nerfool_tpu.attack.attack import run_attack_scan
 
     group = int(os.environ.get("BENCH_SCAN_GROUP", 10))
@@ -425,45 +517,7 @@ def main():
     log(f"attack (scan group={group}): {scan_s*1e3:.1f} ms/iter -> "
         f"{1.0/scan_s:.2f} iters/s (1000-iter attack in {1000*scan_s:.0f}s)")
 
-    # attack-step roofline (fwd+bwd through feature net + renderer)
-    try:
-        a_fl, a_by = program_costs(step.lower(
-            init_attack_state(jax.random.PRNGKey(1), acfg, a_rgbs),
-            target, src, jax.random.PRNGKey(2)))
-        roofline["attack_step"] = dict(
-            phase_report(attack_s, a_fl, a_by),
-            ms=round(attack_s * 1e3, 1),
-            note="f32 parity path: at most ~1/3 of bf16 peak"
-            if ATTACK_DTYPE == "float32" else None,
-        )
-        log("roofline/attack: " + json.dumps(roofline["attack_step"]))
-    except Exception as e:
-        log(f"attack roofline accounting failed: {type(e).__name__}: {e}")
-
-    headline["attack_ms_per_iter"] = round(attack_s * 1e3, 1)
     headline["attack_scan_ms_per_iter"] = round(scan_s * 1e3, 1)
-
-    # ---- secondary backbone (GNT-full render) so the driver artifact
-    # catches GNT regressions (VERDICT r3 weak #6): run in a subprocess
-    # (own device memory lifetime), merge its headline into ours
-    if (os.environ.get("BENCH_SECONDARY", "gnt") == "gnt"
-            and BACKBONE == "ibrnet"):
-        import subprocess
-        env = dict(os.environ, BENCH_BACKBONE="gnt", BENCH_NSAMPLES="192",
-                   BENCH_NIMPORTANCE="0", BENCH_RENDER_ONLY="1",
-                   BENCH_SECONDARY="0")
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=3600,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            log(r.stderr[-2000:])
-            line = [ln for ln in r.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            headline["secondary_gnt"] = json.loads(line)
-        except Exception as e:
-            log(f"secondary gnt bench failed: {type(e).__name__}: {e}")
-            headline["secondary_gnt"] = None
 
     # final merged line LAST on stdout: drivers taking the last JSON line get
     # the full roofline + secondary picture; ones taking the first still got

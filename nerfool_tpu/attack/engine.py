@@ -274,10 +274,12 @@ class AdvEvaluator:
         outside the planned set; some datasets expose no camera inventory)."""
         args = self.args
         base = self.render_cfg
-        # fused GNT attention kernels (ops/{vt,ra}_kernel.py) on the no-grad
-        # whole-image renders: forward-only, so ONLY here — never on the
-        # attack/purification configs, which differentiate. auto = TPU only
-        # (interpret mode crawls on CPU); 'on' forces (CPU tests).
+        # fused GNT RAY attention (ops/ra_kernel.py) on the no-grad
+        # whole-image renders. The ray-attention kernel is grad-safe (custom
+        # VJP) — the attack step can opt in via --gnt_fused_attack
+        # (_attack_render_cfg); only the vt kernel (gnt_fused_vt) remains
+        # forward-only. auto = TPU only (interpret mode crawls on CPU);
+        # 'on' forces (CPU tests).
         fmode = getattr(args, "gnt_fused_attn", "auto")
         if (args.backbone == "gnt" and fmode != "off"
                 and (fmode == "on" or self.jax.default_backend() == "tpu")):

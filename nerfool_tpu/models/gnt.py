@@ -30,7 +30,6 @@ Two exact TPU packings of the same math (same param tree, checkpoint-identical):
 """
 from __future__ import annotations
 
-import os
 
 import flax.linen as nn
 import jax
@@ -120,9 +119,13 @@ class ViewAttention(nn.Module):
     rayfold: bool = False
     # route the unfolded forward through the fused Pallas kernel
     # (ops/vt_kernel.py): one HBM pass over the [V,R,S,D] operand instead of
-    # XLA's ~13. Forward-only (no VJP) — enable on no-grad render paths via
-    # RenderConfig.gnt_fused_attn; f64 inputs (parity tests) fall back.
+    # XLA's ~13. Forward-only (no VJP) — the view-attention kernel is the
+    # one fusion still gated to no-grad render paths, via
+    # RenderConfig.gnt_fused_vt; f64 inputs (parity tests) fall back.
     fused: bool = False
+    # lane-packed kernel variant (vt_kernel lane_pack=True): two rows per
+    # 128-lane register with block-diagonal weights — exact either way
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, q, k, pos, mask=None):
@@ -149,8 +152,7 @@ class ViewAttention(nn.Module):
                 q.reshape(r * s, d), k.reshape(v, r * s, d),
                 pos.reshape(v, r * s, pos.shape[-1]),
                 mask.reshape(v, r * s, 1), wq, wkv, wp0, bp0, wp1, bp1,
-                wa0, ba0, wa1, ba1, wo, bo,
-                lane_pack=os.environ.get("NERFOOL_VT_LANEPACK", "0") == "1")
+                wa0, ba0, wa1, ba1, wo, bo, lane_pack=self.lane_pack)
             return out.reshape(r, s, d)
 
         if not (self.fold or self.rayfold):
@@ -206,6 +208,7 @@ class ViewTransformer(nn.Module):
     fold: bool = False
     rayfold: bool = False
     fused: bool = False
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, q, k, pos, mask=None):
@@ -213,7 +216,8 @@ class ViewTransformer(nn.Module):
         ln = TorchLayerNorm(name="attn_norm")
         x = _ln_packed(ln, q, self.dim) if self.rayfold else ln(q)
         x = ViewAttention(self.dim, fold=self.fold, rayfold=self.rayfold,
-                          fused=self.fused, name="attn")(x, k, pos, mask)
+                          fused=self.fused, lane_pack=self.lane_pack,
+                          name="attn")(x, k, pos, mask)
         x = x + residue
         residue = x
         ln2 = TorchLayerNorm(name="ff_norm")
@@ -236,9 +240,11 @@ class RayAttention(nn.Module):
     n_heads: int = 4
     rayfold: bool = False
     # fused Pallas path (ops/ra_kernel.py): whole attention in VMEM, no
-    # [R,H,S,S] score materialization. Forward-only; with ret_attn it
-    # returns the head-mean FIRST-query-row map [R, S] directly (the only
-    # consumer — RayTransformer — needs nothing else). f64 falls back.
+    # [R,H,S,S] score materialization. Grad-safe — the kernel carries a
+    # custom VJP (flash-style recompute backward), so it runs on the
+    # differentiated attack step too; with ret_attn it returns the
+    # head-mean FIRST-query-row map [R, S] directly (the only consumer —
+    # RayTransformer — needs nothing else). f64 falls back.
     fused: bool = False
 
     @nn.compact
@@ -354,14 +360,17 @@ class GNTAggregator(nn.Module):
     # the bundle/CLI default is 2 (the measured production path).
     ray_fold: int = 1
     # route the unfolded RAY attention through the fused Pallas kernel
-    # (forward-only; see RayAttention.fused — measured 1.6x at flagship
-    # block shapes). Set via module.clone on the no-grad render path —
-    # RenderConfig.gnt_fused_attn.
+    # (grad-safe: ops/ra_kernel.py carries a flash-style-recompute custom
+    # VJP, so this is valid on both no-grad renders and the differentiated
+    # attack step — measured 1.5x at flagship block shapes). Set via
+    # module.clone — RenderConfig.gnt_fused_attn / --gnt_fused_attack.
     fused_attn: bool = False
-    # fused VIEW attention kernel (ViewAttention.fused): currently SLOWER
-    # than XLA's fusion at D=64 (half-filled 128-lane registers dominate,
-    # probe_kernel_micro) — experimental, off by default
+    # fused VIEW attention kernel (ViewAttention.fused): forward-only AND
+    # currently SLOWER than XLA's fusion at D=64 (half-filled 128-lane
+    # registers dominate, probe_kernel_micro) — experimental, off by default
     fused_vt: bool = False
+    # lane-packed vt-kernel variant (exact; ViewAttention.lane_pack)
+    fused_vt_lp: bool = False
 
     @nn.compact
     def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d,
@@ -454,6 +463,7 @@ class GNTAggregator(nn.Module):
         for i in range(self.trans_depth):
             q = ViewTransformer(self.netwidth, fold=fold, rayfold=rayfold,
                                 fused=self.fused_vt,
+                                lane_pack=self.fused_vt_lp,
                                 name=f"view_trans_{i}")(q, x, ray_diff, mask)
             if i % 2 == 0:
                 # per-ray encoding width (63); packed tensors carry 2 rays

@@ -81,13 +81,19 @@ class RenderConfig:
     # static SPGSpec pair from the host planner; None keeps per-tap.
     spg_specs: Optional[tuple] = None
     # route the GNT RAY attention through the fused Pallas kernel
-    # (ops/ra_kernel.py — no [R,H,S,S] score materialization; measured 1.6x
-    # per block). FORWARD-ONLY (no VJP) — enable on no-grad render paths
-    # only; f64 inputs fall back inside the module (parity tests)
+    # (ops/ra_kernel.py — no [R,H,S,S] score materialization; measured 1.5x
+    # per block on v5e). GRAD-SAFE: the kernel has a flash-style-recompute
+    # custom VJP, so it is valid on no-grad renders AND the differentiated
+    # attack step (--gnt_fused_attack); f64 inputs fall back inside the
+    # module (parity tests)
     gnt_fused_attn: bool = False
-    # fused VIEW attention kernel (ops/vt_kernel.py): currently loses to
-    # XLA's fusion at D=64 (probe_kernel_micro) — experimental
+    # fused VIEW attention kernel (ops/vt_kernel.py): forward-only (no VJP)
+    # and currently loses to XLA's fusion at D=64 (probe_kernel_micro) —
+    # experimental
     gnt_fused_vt: bool = False
+    # lane-packed vt-kernel variant (two rows per 128-lane register,
+    # block-diagonal weights; exact) — only meaningful with gnt_fused_vt
+    gnt_fused_vt_lp: bool = False
 
 
 def make_shade_fn(model, cfg: RenderConfig) -> Callable:
@@ -106,7 +112,8 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
             if (cfg.gnt_fused_attn
                     and getattr(agg_module, "fused_attn", True) is False):
                 agg_module = agg_module.clone(fused_attn=True,
-                                              fused_vt=cfg.gnt_fused_vt)
+                                              fused_vt=cfg.gnt_fused_vt,
+                                              fused_vt_lp=cfg.gnt_fused_vt_lp)
             return agg_module.apply(
                 {"params": agg_params}, rgb_feat, ray_diff, mask, pts, ray_d,
                 inputs_packed=inputs_packed,

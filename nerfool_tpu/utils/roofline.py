@@ -92,7 +92,22 @@ def phase_report(seconds, flops=None, bytes_accessed=None, executions=1,
     if bytes_accessed and seconds > 0:
         gbs = bytes_accessed * executions / seconds / 1e9
         out["gbps"] = round(gbs, 1)
-        out["hbm_pct"] = round(100.0 * gbs / peak_gb, 1) if peak_gb else None
+        if peak_gb:
+            pct = round(100.0 * gbs / peak_gb, 1)
+            out["hbm_pct"] = pct
+            if pct > 100.0:
+                # XLA's "bytes accessed" is a pre-fusion per-op sum: operands
+                # shared by fused consumers and remat re-reads are counted
+                # once per USE, not once per HBM crossing, so the estimate
+                # can exceed what the wall-clock could physically stream
+                # (BENCH_r04's attack row: 120.5%). The wall is the truth;
+                # >100% means the bound overcounts, not that the chip
+                # exceeded its bandwidth.
+                out["hbm_note"] = ("bytes-accessed is an XLA upper bound "
+                                   "(fusion/remat reuse double-counted); "
+                                   ">100% flags the bound, not the chip")
+        else:
+            out["hbm_pct"] = None
     return out
 
 
@@ -115,9 +130,10 @@ def gnt_aggregation_traffic(v, r, s, d=64, depth=8, bytes_per_el=2,
     shows up as a higher %-of-floor, not a lower floor.
 
     ``fused_ra`` (ops/ra_kernel.py, the shipped no-grad render default):
-    scores never leave VMEM and the q-side attention chain collapses to one
-    read + one write, leaving ~2 q-side passes for attention plus ~4 for the
-    block's LN/FF. ``fused_vt`` (ops/vt_kernel.py): the view-side chain
+    scores never leave VMEM and the ~4 attention passes of the 6 q-side
+    passes collapse to one read + one write, leaving ~2 attention passes
+    plus the ~2 LN/FF passes that stay XLA either way (6 unfused -> 4
+    fused). ``fused_vt`` (ops/vt_kernel.py): the view-side chain
     collapses to one read of k/pos/mask plus the D-wide output write —
     ~1.5 big-operand passes per depth instead of 13.
 

@@ -48,6 +48,7 @@ def main():
         "fused": jax.jit(lambda p, *a: mod.clone(
             fused_attn=True,
             fused_vt=os.environ.get("PROBE_FUSED_VT", "0") == "1",
+            fused_vt_lp=os.environ.get("NERFOOL_VT_LANEPACK", "0") == "1",
         ).apply({"params": p}, *a)),
     }
     args = (params, rgb_feat, ray_diff, mask, pts, ray_d)

@@ -61,11 +61,10 @@ def main():
     print(f"view-attn : xla {t1:7.1f} ms   fused {t2:7.1f} ms "
           f"({t1/t2:.2f}x)", flush=True)
 
-    os.environ["NERFOOL_VT_LANEPACK"] = "1"
     f_lp = jax.jit(
-        lambda p, *a: va.clone(fused=True).apply({"params": p}, *a))
+        lambda p, *a: va.clone(fused=True, lane_pack=True)
+        .apply({"params": p}, *a))
     t2b = timeit(f_lp, params, q, k, pos, mask)
-    del os.environ["NERFOOL_VT_LANEPACK"]
     print(f"view-attn : lane-packed fused {t2b:7.1f} ms ({t1/t2b:.2f}x vs "
           "xla)", flush=True)
 

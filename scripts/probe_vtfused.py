@@ -64,10 +64,13 @@ def main():
     import dataclasses
     base = dataclasses.replace(base, bspg_specs=specs, bspg_pallas=True)
     # PROBE_FUSED_VT=1 makes the fused variant also route view attention
-    # through vt_kernel (with NERFOOL_VT_LANEPACK=1 for the lane-packed one)
+    # through vt_kernel (with NERFOOL_VT_LANEPACK=1 for the lane-packed one;
+    # read ONCE here at config-build time — the flag is plumbed through
+    # RenderConfig, not re-read at trace time)
     cfgs = {0: base, 1: dataclasses.replace(
         base, gnt_fused_attn=True,
-        gnt_fused_vt=os.environ.get("PROBE_FUSED_VT", "0") == "1")}
+        gnt_fused_vt=os.environ.get("PROBE_FUSED_VT", "0") == "1",
+        gnt_fused_vt_lp=os.environ.get("NERFOOL_VT_LANEPACK", "0") == "1")}
 
     intr = target_cam[2:18].reshape(4, 4)
     c2w = target_cam[18:34].reshape(4, 4)

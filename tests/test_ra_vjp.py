@@ -31,8 +31,6 @@ def test_ra_vjp_matches_autodiff():
     g_fus = jax.grad(_loss, argnums=(0, 1))(params, x, True)
 
     ref_flat = jax.tree_util.tree_leaves_with_path(g_ref[0])
-    fus = dict(jax.tree_util.tree_leaves_with_path(g_fus[0]))
-    # dict with same paths
     fus_map = {jax.tree_util.keystr(p): v
                for p, v in jax.tree_util.tree_leaves_with_path(g_fus[0])}
     for path, ref_leaf in ref_flat:

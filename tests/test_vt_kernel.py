@@ -62,15 +62,16 @@ def test_lane_packed_view_attention_matches_xla(dtype, tol):
     assert err / scale < tol, (err, scale)
 
 
-def test_lane_packed_env_route_matches_plain(monkeypatch):
-    monkeypatch.setenv("NERFOOL_VT_LANEPACK", "1")
+def test_lane_packed_module_route_matches_plain():
+    # lane_pack is a module field (plumbed through RenderConfig), not an env
+    # read — flipping it after trace would otherwise silently no-op
     rng = np.random.RandomState(8)
     q, k, pos, mask = _va_inputs(rng, v=3, r=4, s=8)
     mod = ViewAttention(64)
     params = mod.init(jax.random.PRNGKey(1), q, k, pos, mask)["params"]
     ref = mod.apply({"params": params}, q, k, pos, mask)
-    got = ViewAttention(64, fused=True).apply({"params": params}, q, k, pos,
-                                              mask)
+    got = ViewAttention(64, fused=True, lane_pack=True).apply(
+        {"params": params}, q, k, pos, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
