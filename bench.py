@@ -111,11 +111,44 @@ T_START = time.perf_counter()
 # persistent compilation cache (jax_compilation_cache_dir below, verified
 # working across processes on the axon relay) makes warm-cache runs fit
 # comfortably.
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
 
 
 def t_rem() -> float:
     return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def cached_plan_render_specs(target_cams, src_cams, depth_range, rgb_hw,
+                             feat_hw, **kw):
+    """plan_render_specs with a disk cache: the host-side planner is pure in
+    its inputs but costs ~100s at flagship scale — too much of the driver
+    budget to redo every run on an unchanged synthetic rig."""
+    import hashlib
+    import pickle
+
+    from nerfool_tpu.ops.bspg import plan_render_specs
+
+    key = hashlib.sha256(repr((
+        np.asarray(target_cams).tolist(), np.asarray(src_cams).tolist(),
+        np.asarray(depth_range).tolist(), tuple(rgb_hw), tuple(feat_hw),
+        sorted(kw.items()))).encode()).hexdigest()[:20]
+    cdir = os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache")
+    path = os.path.join(cdir, f"bspgplan_{key}.pkl")
+    if os.path.isfile(path):
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            pass
+    specs = plan_render_specs(target_cams, src_cams, depth_range, rgb_hw,
+                              feat_hw, **kw)
+    try:
+        os.makedirs(cdir, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(specs, f)
+    except Exception:
+        pass
+    return specs
 
 
 def _probe_backend(timeout_s: int) -> bool:
@@ -161,11 +194,13 @@ def main():
     rng = np.random.RandomState(0)
     cams, depth_range = build_scene()
     target_cam, src_cams = cams[0], cams[1:]
-    src_rgbs = rng.rand(N_SRC, H, W, 3).astype(np.float32)
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
-    bundle = create_model(backbone=BACKBONE, rng_key=jax.random.PRNGKey(0),
+    from nerfool_tpu.utils.platform import host_key
+
+    log("scene built; creating model")
+    bundle = create_model(backbone=BACKBONE, rng_key=host_key(0),
                           trans_depth=8, single_net=BACKBONE == "gnt",
                           gnt_sample_fold=int(os.environ.get("BENCH_GNT_FOLD", "1")),
                           gnt_ray_fold=int(os.environ.get("BENCH_GNT_RAYFOLD", "1")),
@@ -187,8 +222,16 @@ def main():
                          and os.environ.get("NERFOOL_VT_LANEPACK", "0") == "1"),
     )
 
-    src_rgbs_j = jnp.asarray(src_rgbs)
+    log("model created; materializing source views on device")
+    # random source views generated ON the device: a host rand of this size
+    # (91 MB at flagship scale) would cross the relay tunnel; the content
+    # is measurement-irrelevant
+    src_rgbs_j = jax.jit(
+        lambda k: jax.random.uniform(k, (N_SRC, H, W, 3), jnp.float32)
+    )(jax.random.PRNGKey(42))
+    src_rgbs_j.block_until_ready()
     src_cams_j = jnp.asarray(src_cams)
+    log("source views ready")
 
     # ---- clean render benchmark
     t0 = time.perf_counter()
@@ -206,9 +249,7 @@ def main():
     if USE_BSPG:
         import dataclasses as _dc
 
-        from nerfool_tpu.ops.bspg import plan_render_specs
-
-        specs = plan_render_specs(
+        specs = cached_plan_render_specs(
             target_cam[None], src_cams, depth_range.reshape(-1),
             (H, W), feats[0].shape[1:3], block=(BSPG_BLOCK, BSPG_BLOCK),
             n_samples=N_SAMPLES, n_importance=N_IMPORTANCE,
@@ -377,6 +418,9 @@ def main():
         env = dict(os.environ, BENCH_BACKBONE="gnt", BENCH_NSAMPLES="192",
                    BENCH_NIMPORTANCE="0", BENCH_RENDER_ONLY="1",
                    BENCH_SECONDARY="0", BENCH_PROBE_TIMEOUT="0",
+                   # the subprocess self-limits via RENDER_ONLY; give it the
+                   # whole remaining window rather than a second guard
+                   BENCH_BUDGET_S="100000",
                    # sub-frame + fewer repeats: fits the driver budget at
                    # GNT-full throughput (~10-15k rays/s)
                    BENCH_RENDER_RAYS=os.environ.get(

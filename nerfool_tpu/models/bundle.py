@@ -13,6 +13,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerfool_tpu.models.gnt import GNTAggregator
 from nerfool_tpu.models.ibrnet import IBRNetAggregator
@@ -67,6 +68,34 @@ class ModelBundle:
                 fn = jax.checkpoint(fn)
             object.__setattr__(self, "_feature_apply_fn", jax.jit(fn))
         return self._feature_apply_fn
+
+
+def _load_or_init_params(cache_key: str, init_fn, key):
+    """Disk-cached random init (see the call site for why). Falls back to a
+    plain init on any cache trouble."""
+    import hashlib
+    import os
+    import pickle
+
+    cdir = os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache")
+    path = os.path.join(
+        cdir, "params_"
+        + hashlib.sha256(cache_key.encode()).hexdigest()[:20] + ".pkl")
+    if os.path.isfile(path):
+        try:
+            with open(path, "rb") as f:
+                return jax.tree.map(jnp.asarray, pickle.load(f))
+        except Exception:
+            pass
+    params = init_fn(key)
+    try:
+        os.makedirs(cdir, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(jax.tree.map(
+                lambda x: np.asarray(jax.device_get(x)), params), f)
+    except Exception:
+        pass
+    return params
 
 
 def create_model(
@@ -158,30 +187,72 @@ def create_model(
         params = load_reference_checkpoint(ckpt_path, backbone=backbone,
                                            trans_depth=trans_depth)
     else:
-        key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
-        kf, kc, kfi = jax.random.split(key, 3)
         v, h, w = init_shapes
-        r, s = 2, 8
-        x = jnp.zeros((v, h, w, 3))
-        params = {"feature_net": feature_net.init(kf, x)["params"]}
-        # views-first aggregator layout [V, R, S, C]
-        rgb_feat = jnp.zeros((v, r, s, 3 + coarse_feat_dim))
-        ray_diff = jnp.zeros((v, r, s, 4))
-        mask = jnp.ones((v, r, s, 1))
-        if backbone == "ibrnet":
-            params["net_coarse"] = net_coarse.init(kc, rgb_feat, ray_diff, mask)["params"]
-            if net_fine is not None:
-                params["net_fine"] = net_fine.init(kfi, rgb_feat, ray_diff, mask)["params"]
-        else:
-            pts = jnp.zeros((r, s, 3))
-            ray_d = jnp.ones((r, 3))
-            params["net_coarse"] = net_coarse.init(
-                kc, rgb_feat, ray_diff, mask, pts, ray_d
-            )["params"]
-            if net_fine is not None:
-                params["net_fine"] = net_fine.init(
-                    kfi, rgb_feat, ray_diff, mask, pts, ray_d
+
+        def _init_all(key):
+            # split INSIDE the device context: a key committed to the
+            # accelerator would drag every eager init op back onto it
+            kf, kc, kfi = jax.random.split(key, 3)
+            r, s = 2, 8
+            x = jnp.zeros((v, h, w, 3))
+            params = {"feature_net": feature_net.init(kf, x)["params"]}
+            # views-first aggregator layout [V, R, S, C]
+            rgb_feat = jnp.zeros((v, r, s, 3 + coarse_feat_dim))
+            ray_diff = jnp.zeros((v, r, s, 4))
+            mask = jnp.ones((v, r, s, 1))
+            if backbone == "ibrnet":
+                params["net_coarse"] = net_coarse.init(
+                    kc, rgb_feat, ray_diff, mask)["params"]
+                if net_fine is not None:
+                    params["net_fine"] = net_fine.init(
+                        kfi, rgb_feat, ray_diff, mask)["params"]
+            else:
+                pts = jnp.zeros((r, s, 3))
+                ray_d = jnp.ones((r, 3))
+                params["net_coarse"] = net_coarse.init(
+                    kc, rgb_feat, ray_diff, mask, pts, ray_d
                 )["params"]
+                if net_fine is not None:
+                    params["net_fine"] = net_fine.init(
+                        kfi, rgb_feat, ray_diff, mask, pts, ray_d
+                    )["params"]
+            return params
+
+        # init on the host CPU backend: the tracing itself is host-side
+        # either way, but the init programs would otherwise compile+execute
+        # on the accelerator — on the remote-relay TPU platform that is
+        # ~100s of round-trips for parameters that transfer in one hop
+        # anyway (threefry PRNG is backend-deterministic, so the params are
+        # bit-identical)
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != "cpu":
+            # key data must live on cpu: an accelerator-committed key would
+            # drag every init op back onto the device (on the remote-relay
+            # TPU platform the transfer also blocks on a remote compile —
+            # prefer utils.platform.host_key for keys passed in here)
+            if rng_key is not None and cpu not in rng_key.devices():
+                rng_key = np.asarray(jax.device_get(rng_key))
+            with jax.default_device(cpu):
+                key = (jnp.asarray(rng_key) if rng_key is not None
+                       else jax.random.PRNGKey(0))
+                # random-init params are pure in (architecture, seed); the
+                # XLA-CPU compiles of the throwaway init programs cost
+                # ~60-150s at flagship widths, so cache the resulting
+                # pytree on disk (benchmarks/probes rebuild the same model
+                # every process)
+                cache_key = repr((backbone, coarse_feat_dim, fine_feat_dim,
+                                  netwidth, trans_depth, anti_alias_pooling,
+                                  coarse_only, single_net, ret_alpha,
+                                  gnt_sample_fold, gnt_ray_fold,
+                                  ibrnet_sample_fold, init_shapes,
+                                  np.asarray(key).tolist()))
+                params = _load_or_init_params(cache_key, _init_all, key)
+        else:
+            key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+            params = _init_all(key)
 
     return ModelBundle(
         backbone=backbone,

@@ -21,6 +21,21 @@ def apply_platform_env():
     jax.config.update("jax_platforms", plat)
 
 
+def host_key(seed: int = 0):
+    """PRNGKey built on the host CPU backend. On the remote-relay TPU
+    platform, ``jax.random.PRNGKey`` on the default device costs a remote
+    compile + round trip per process; host keys are free and every consumer
+    that needs the key on-device gets it in one transfer."""
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return jax.random.PRNGKey(seed)
+    with jax.default_device(cpu):
+        return jax.random.PRNGKey(seed)
+
+
 def apply_precision(args):
     """Honor --matmul_precision: raises the MXU input precision for f32
     operands of every dot/conv that does not set one explicitly (the

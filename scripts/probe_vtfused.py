@@ -31,7 +31,7 @@ def main():
     import jax.numpy as jnp
 
     from nerfool_tpu.models.bundle import create_model
-    from nerfool_tpu.ops.bspg import plan_render_specs
+    from bench import cached_plan_render_specs as plan_render_specs
     from nerfool_tpu.render.render_image import _render_blocked_jit
     from nerfool_tpu.render.render_rays import RenderConfig
     from nerfool_tpu.utils.cameras import get_rays
