@@ -214,8 +214,10 @@ def main():
         single_net=BACKBONE == "gnt", ret_alpha=BACKBONE == "gnt",
         stop_camera_grad=BACKBONE == "ibrnet", compute_dtype=DTYPE,
         reuse_fine_taps=REUSE_TAPS,
+        # default OFF since battery5: the fused ra kernel loses -19% e2e
+        # (10,407 -> 8,420 rays/s whole-frame interleaved A/B)
         gnt_fused_attn=(BACKBONE == "gnt"
-                        and os.environ.get("BENCH_GNT_FUSED", "1") == "1"),
+                        and os.environ.get("BENCH_GNT_FUSED", "0") == "1"),
         gnt_fused_vt=(BACKBONE == "gnt"
                       and os.environ.get("BENCH_GNT_FUSED_VT", "0") == "1"),
         gnt_fused_vt_lp=(BACKBONE == "gnt"

@@ -275,14 +275,15 @@ class AdvEvaluator:
         args = self.args
         base = self.render_cfg
         # fused GNT RAY attention (ops/ra_kernel.py) on the no-grad
-        # whole-image renders. The ray-attention kernel is grad-safe (custom
-        # VJP) — the attack step can opt in via --gnt_fused_attack
-        # (_attack_render_cfg); only the vt kernel (gnt_fused_vt) remains
-        # forward-only. auto = TPU only (interpret mode crawls on CPU);
-        # 'on' forces (CPU tests).
+        # whole-image renders. The kernel wins its micro A/B 1.5x but LOSES
+        # -19% end to end (battery5, interleaved whole-frame A/B: XLA 10,407
+        # rays/s vs fused 8,420 — the custom-call boundary forces the
+        # [R,S,D] operand to materialize and breaks XLA's fusion of the
+        # surrounding LN/FF/q_fc chain), so 'auto' now resolves to OFF;
+        # 'on' forces it (A/B + CPU equality tests). The kernel is grad-safe
+        # (custom VJP) — the attack step can opt in via --gnt_fused_attack.
         fmode = getattr(args, "gnt_fused_attn", "auto")
-        if (args.backbone == "gnt" and fmode != "off"
-                and (fmode == "on" or self.jax.default_backend() == "tpu")):
+        if args.backbone == "gnt" and fmode == "on":
             import dataclasses as _dc
 
             base = _dc.replace(base, gnt_fused_attn=True)

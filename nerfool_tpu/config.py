@@ -180,12 +180,15 @@ def config_parser():
     # relayout of the gathered operands loses e2e (BENCH_NOTES r4); opt-in
     parser.add_argument("--gnt_ray_fold", type=int, default=1)
     # fused Pallas attention kernels for no-grad GNT renders
-    # (ops/vt_kernel.py, ops/ra_kernel.py): auto = TPU only
+    # (ops/vt_kernel.py, ops/ra_kernel.py): auto resolves to OFF — the ra
+    # kernel wins its micro A/B 1.5x but loses -19% end to end (battery5,
+    # whole-frame interleaved A/B); 'on' forces it
     parser.add_argument("--gnt_fused_attn", type=str, default="auto",
                         choices=("auto", "on", "off"))
     # also route the DIFFERENTIATED attack/purification steps through the
     # fused ray-attention kernel (fused_ray_attention_ad custom VJP:
-    # flash-style recompute backward). Off pending hardware A/B.
+    # flash-style recompute backward). Off: battery5 measured the forward
+    # kernel -19% e2e, so the default stays the XLA path.
     parser.add_argument("--gnt_fused_attack", type=str2bool, default=False)
     parser.add_argument("--ibrnet_sample_fold", type=int, default=1)
     parser.add_argument("--single_net", type=str2bool, default=True)

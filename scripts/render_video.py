@@ -40,9 +40,10 @@ def main():
                           ckpt_path=args.ckpt_path or None)
     render_cfg = default_render_config(args, backbone=args.backbone)
     fmode = getattr(args, "gnt_fused_attn", "auto")
-    if (args.backbone == "gnt" and fmode != "off"
-            and (fmode == "on" or jax.default_backend() == "tpu")):
-        # video rendering never differentiates: fused attention kernels on
+    if args.backbone == "gnt" and fmode == "on":
+        # battery5: the fused ray-attention kernel loses -19% end to end
+        # (see engine._view_render_cfg) — 'auto' resolves to off, 'on'
+        # forces it
         import dataclasses
 
         render_cfg = dataclasses.replace(render_cfg, gnt_fused_attn=True)
