@@ -34,7 +34,13 @@ ATTACK_SRC = int(os.environ.get("BENCH_ATTACK_SRC", 4))
 ATTACK_ITERS = int(os.environ.get("BENCH_ATTACK_ITERS", 10))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # rendering path
 ATTACK_DTYPE = os.environ.get("BENCH_ATTACK_DTYPE", "float32")  # parity default
-FEATURE_DTYPE = os.environ.get("BENCH_FEATURE_DTYPE", "float32")  # ResUNet convs
+# ResUNet convs: bfloat16 is the benchmarked production fast path since
+# round 5 — it cleared the 5-seed attack-efficacy gate
+# (scripts/probe_bf16_efficacy.py, battery_results/bf16_gate.json:
+# final-loss ratios 0.97-1.03 vs f32) and buys ~-10% attack ms/iter
+# (BENCH_NOTES r4: 182.6 vs 202.4). The CLI/engine default stays float32
+# for reference-parity protocol runs (--feature_dtype).
+FEATURE_DTYPE = os.environ.get("BENCH_FEATURE_DTYPE", "bfloat16")
 REMAT = os.environ.get("BENCH_REMAT", "1") == "1"  # feature-net remat in bwd
 REUSE_TAPS = os.environ.get("BENCH_REUSE_TAPS", "1") == "1"  # fine-pass tap reuse
 SCENE = os.environ.get("BENCH_SCENE", "llff")  # llff (nearest-view rig) | arc

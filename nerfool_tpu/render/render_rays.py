@@ -94,6 +94,12 @@ class RenderConfig:
     # lane-packed vt-kernel variant (two rows per 128-lane register,
     # block-diagonal weights; exact) — only meaningful with gnt_fused_vt
     gnt_fused_vt_lp: bool = False
+    # WHOLE-CHAIN fused GNT aggregation (ops/chain_kernel.py): the entire
+    # depth-8 view-attn/q_fc/ray-attn stack runs as ONE Pallas kernel per
+    # ray tile — two fusion boundaries per block instead of ~16 per depth
+    # (the boundary cost is what sank the per-stage kernels, battery5).
+    # Forward-only; no-grad render paths. f64/ray-packed inputs fall back.
+    gnt_fused_chain: bool = False
 
 
 def make_shade_fn(model, cfg: RenderConfig) -> Callable:
@@ -109,6 +115,18 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
     else:
         def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d,
                   inputs_packed=False):
+            if (cfg.gnt_fused_chain and not inputs_packed
+                    and getattr(agg_module, "ray_fold", 1) != 2
+                    and getattr(agg_module, "sample_fold", 1) != 2
+                    and jnp.dtype(rgb_feat.dtype) != jnp.float64):
+                from nerfool_tpu.ops.chain_kernel import fused_chain_aggregate
+
+                return fused_chain_aggregate(
+                    agg_params, rgb_feat, ray_diff, mask, pts, ray_d,
+                    depth=agg_module.trans_depth,
+                    posenc_freqs=agg_module.posenc_freqs,
+                    ret_alpha=agg_module.ret_alpha,
+                )
             if (cfg.gnt_fused_attn
                     and getattr(agg_module, "fused_attn", True) is False):
                 agg_module = agg_module.clone(fused_attn=True,

@@ -66,11 +66,16 @@ def main():
     # PROBE_FUSED_VT=1 makes the fused variant also route view attention
     # through vt_kernel (with NERFOOL_VT_LANEPACK=1 for the lane-packed one;
     # read ONCE here at config-build time — the flag is plumbed through
-    # RenderConfig, not re-read at trace time)
-    cfgs = {0: base, 1: dataclasses.replace(
-        base, gnt_fused_attn=True,
-        gnt_fused_vt=os.environ.get("PROBE_FUSED_VT", "0") == "1",
-        gnt_fused_vt_lp=os.environ.get("NERFOOL_VT_LANEPACK", "0") == "1")}
+    # RenderConfig, not re-read at trace time). PROBE_FUSED_CHAIN=1 instead
+    # A/Bs the whole-chain kernel (ops/chain_kernel.py).
+    if os.environ.get("PROBE_FUSED_CHAIN", "0") == "1":
+        fused_cfg = dataclasses.replace(base, gnt_fused_chain=True)
+    else:
+        fused_cfg = dataclasses.replace(
+            base, gnt_fused_attn=True,
+            gnt_fused_vt=os.environ.get("PROBE_FUSED_VT", "0") == "1",
+            gnt_fused_vt_lp=os.environ.get("NERFOOL_VT_LANEPACK", "0") == "1")
+    cfgs = {0: base, 1: fused_cfg}
 
     intr = target_cam[2:18].reshape(4, 4)
     c2w = target_cam[18:34].reshape(4, 4)
