@@ -224,6 +224,10 @@ def main():
         # (10,407 -> 8,420 rays/s whole-frame interleaved A/B)
         gnt_fused_attn=(BACKBONE == "gnt"
                         and os.environ.get("BENCH_GNT_FUSED", "0") == "1"),
+        # whole-chain kernel: default ON (battery5: +3% e2e, the only fused
+        # variant that wins; one-time ~90s Mosaic compile, cached)
+        gnt_fused_chain=(BACKBONE == "gnt"
+                         and os.environ.get("BENCH_GNT_CHAIN", "1") == "1"),
         gnt_fused_vt=(BACKBONE == "gnt"
                       and os.environ.get("BENCH_GNT_FUSED_VT", "0") == "1"),
         gnt_fused_vt_lp=(BACKBONE == "gnt"
@@ -391,7 +395,8 @@ def main():
 
             agg = gnt_aggregation_traffic(N_SRC, n_rays, N_SAMPLES,
                                           fused_ra=cfg.gnt_fused_attn,
-                                          fused_vt=cfg.gnt_fused_vt)
+                                          fused_vt=cfg.gnt_fused_vt,
+                                          fused_chain=cfg.gnt_fused_chain)
             if agg["floor_s"]:
                 agg["pct_of_floor"] = round(100.0 * agg["floor_s"] / rend_s, 1)
             roofline["gnt_aggregation"] = agg

@@ -287,6 +287,15 @@ class AdvEvaluator:
             import dataclasses as _dc
 
             base = _dc.replace(base, gnt_fused_attn=True)
+        # whole-chain kernel (ops/chain_kernel.py): the one fused variant
+        # that wins e2e (battery5 +3%); auto = TPU no-grad renders
+        cmode = getattr(args, "gnt_fused_chain", "auto")
+        if (args.backbone == "gnt" and cmode != "off"
+                and (cmode == "on"
+                     or self.jax.default_backend() == "tpu")):
+            import dataclasses as _dc
+
+            base = _dc.replace(base, gnt_fused_chain=True)
         if not getattr(args, "use_bspg", True):
             return base
         if n_src in self._bspg_cfg:

@@ -185,6 +185,13 @@ def config_parser():
     # whole-frame interleaved A/B); 'on' forces it
     parser.add_argument("--gnt_fused_attn", type=str, default="auto",
                         choices=("auto", "on", "off"))
+    # WHOLE-CHAIN fused aggregation kernel (ops/chain_kernel.py): the whole
+    # depth-8 stack in one kernel per ray tile — the only fused variant
+    # that WINS end to end (battery5: 10,724 vs 10,407 rays/s whole-frame
+    # A/B). auto = on for TPU no-grad renders; one-time ~90 s Mosaic
+    # compile (persistent-cached)
+    parser.add_argument("--gnt_fused_chain", type=str, default="auto",
+                        choices=("auto", "on", "off"))
     # also route the DIFFERENTIATED attack/purification steps through the
     # fused ray-attention kernel (fused_ray_attention_ad custom VJP:
     # flash-style recompute backward). Off: battery5 measured the forward

@@ -95,8 +95,7 @@ def _chain_kernel(rf_ref, rd_ref, mask_ref, pe_ref, ve_ref,
         kidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
         kpad = kidx >= s_valid
 
-    attn0 = jnp.zeros((tr, s), jnp.float32)
-    for i in range(depth):  # static unroll
+    def vt_block(q, i):
         # ---- view transformer (ViewAttention + FF, pre-LN residuals)
         qln = _ln(q, vtln1_ref[i, 0], vtln1_ref[i, 1], 1e-6)
         qp = _mm(qln, vtwq_ref[i], prec)                  # [rows, D]
@@ -116,22 +115,25 @@ def _chain_kernel(rf_ref, rd_ref, mask_ref, pe_ref, ve_ref,
         q = q + _mm(o, vtwo_ref[i], prec) + vtwob_ref[i]
         h = _ln(q, vtln2_ref[i, 0], vtln2_ref[i, 1], 1e-6)
         h = jnp.maximum(_mm(h, vtf1_ref[i], prec) + vtf1b_ref[i], 0)
-        q = q + _mm(h, vtf2_ref[i], prec) + vtf2b_ref[i]
+        return q + _mm(h, vtf2_ref[i], prec) + vtf2b_ref[i]
 
+    def qfc_block(q, j):
         # ---- q_fc injection every other block (REPLACES q, no residual);
         # the [q|pos|view] concat is expressed as a 3-way split matmul
-        if i % 2 == 0:
-            j = i // 2
-            t = (_mm(q, qf0q_ref[j], prec) + _mm(pe, qf0p_ref[j], prec)
-                 + _mm(ve, qf0v_ref[j], prec) + qf0b_ref[j])
-            q = _mm(jnp.maximum(t, 0), qf1_ref[j], prec) + qf1b_ref[j]
+        t = (_mm(q, qf0q_ref[j], prec) + _mm(pe, qf0p_ref[j], prec)
+             + _mm(ve, qf0v_ref[j], prec) + qf0b_ref[j])
+        return _mm(jnp.maximum(t, 0), qf1_ref[j], prec) + qf1b_ref[j]
 
-        # ---- ray transformer (per-ray sample-axis attention, ra_kernel body)
+    def ra_block(q, i):
+        # ---- ray transformer (per-ray sample-axis attention; ra_kernel
+        # body). Returns (q, attn0_candidate) — the caller keeps the last
+        # depth's candidate (ret_alpha compositing weights).
         qln = _ln(q, raln1_ref[i, 0], raln1_ref[i, 1], 1e-6)
         qkv = _mm(qln, raqkv_ref[i], prec).reshape(tr, s, 3 * d)
         scale = jnp.asarray(1.0 / float(hd) ** 0.5, dt)
         bdims = (((2,), (2,)), ((0,), (0,)))
         outs = []
+        a0 = jnp.zeros((tr, s), jnp.float32)
         for hh in range(n_heads):
             qh = qkv[..., hh * hd:(hh + 1) * hd]
             kh = qkv[..., d + hh * hd:d + (hh + 1) * hd]
@@ -144,8 +146,7 @@ def _chain_kernel(rf_ref, rd_ref, mask_ref, pe_ref, ve_ref,
             mh = jnp.max(ah, axis=-1, keepdims=True)
             eh = jnp.exp(ah - mh)
             ah = eh / jnp.sum(eh, axis=-1, keepdims=True)
-            if i == depth - 1:
-                attn0 = attn0 + ah[:, 0, :].astype(jnp.float32)
+            a0 = a0 + ah[:, 0, :].astype(jnp.float32)
             outs.append(jax.lax.dot_general(
                 ah, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 precision=prec, preferred_element_type=jnp.float32
@@ -154,7 +155,36 @@ def _chain_kernel(rf_ref, rd_ref, mask_ref, pe_ref, ve_ref,
         q = q + _mm(o, rawo_ref[i], prec) + rawob_ref[i]
         h = _ln(q, raln2_ref[i, 0], raln2_ref[i, 1], 1e-6)
         h = jnp.maximum(_mm(h, raf1_ref[i], prec) + raf1b_ref[i], 0)
-        q = q + _mm(h, raf2_ref[i], prec) + raf2b_ref[i]
+        return q + _mm(h, raf2_ref[i], prec) + raf2b_ref[i], a0
+
+    if depth >= 4 and depth % 2 == 0:
+        # fori_loop over DEPTH PAIRS (even depth with q_fc + odd depth
+        # without): the body compiles once, keeping the Mosaic compile near
+        # the depth-2 cost — the fully unrolled depth-8 body measured a
+        # 40-minute superlinear compile (BENCH_NOTES round 5)
+        attn0 = jnp.zeros((tr, s), jnp.float32)
+
+        def pair(j, carry):
+            q, a_prev = carry
+            i0 = 2 * j
+            q = vt_block(q, i0)
+            q = qfc_block(q, j)
+            q, _ = ra_block(q, i0)
+            q = vt_block(q, i0 + 1)
+            q, a0 = ra_block(q, i0 + 1)
+            keep = (j == depth // 2 - 1)
+            return q, jnp.where(keep, a0, a_prev)
+
+        q, attn0 = jax.lax.fori_loop(0, depth // 2, pair, (q, attn0))
+    else:
+        attn0 = jnp.zeros((tr, s), jnp.float32)
+        for i in range(depth):  # static unroll (small depths / odd depth)
+            q = vt_block(q, i)
+            if i % 2 == 0:
+                q = qfc_block(q, i // 2)
+            q, a0 = ra_block(q, i)
+            if i == depth - 1:
+                attn0 = a0
 
     qout_ref[...] = q.reshape(tr, s, d)
     attn0_ref[...] = (attn0 / n_heads).astype(dt)

@@ -112,7 +112,8 @@ def phase_report(seconds, flops=None, bytes_accessed=None, executions=1,
 
 
 def gnt_aggregation_traffic(v, r, s, d=64, depth=8, bytes_per_el=2,
-                            heads=4, fused_ra=False, fused_vt=False):
+                            heads=4, fused_ra=False, fused_vt=False,
+                            fused_chain=False):
     """Analytic HBM-traffic floor of the GNT aggregation chain (per ray
     batch), assuming perfect producer->consumer fusion (each materialized
     operand crosses HBM once per read and once per write — a LOWER bound on
@@ -143,18 +144,27 @@ def gnt_aggregation_traffic(v, r, s, d=64, depth=8, bytes_per_el=2,
     big = float(v) * r * s * d * bytes_per_el
     qside = float(r) * s * d * bytes_per_el
     score = float(r) * heads * s * s * bytes_per_el
-    vt_passes = 1.5 if fused_vt else 13.0
-    score_passes = 0.0 if fused_ra else 5.0
-    # of the ~6 q-side passes, ~4 are the attention chain (collapsing to
-    # 1R+1W inside the kernel); the block's LN/FF stay XLA either way
-    qside_passes = 4.0 if fused_ra else 6.0
-    per_block = (vt_passes * big + score_passes * score
-                 + qside_passes * qside)
-    total = depth * per_block + 3.0 * big  # + entry rgbfeat MLP passes
+    if fused_chain:
+        # whole-chain kernel (ops/chain_kernel.py): gathered operands cross
+        # HBM once (rf 35+4+1 ch), embeddings once (2x63 ch), q+attn out
+        # once; per-tile weight streaming ~1 MB per 8-ray tile
+        total = (float(v) * r * s * 40 * bytes_per_el
+                 + float(r) * s * (126 + d + 1) * bytes_per_el
+                 + (r / 8.0) * 1.0e6)
+    else:
+        vt_passes = 1.5 if fused_vt else 13.0
+        score_passes = 0.0 if fused_ra else 5.0
+        # of the ~6 q-side passes, ~4 are the attention chain (collapsing
+        # to 1R+1W inside the kernel); the block's LN/FF stay XLA either way
+        qside_passes = 4.0 if fused_ra else 6.0
+        per_block = (vt_passes * big + score_passes * score
+                     + qside_passes * qside)
+        total = depth * per_block + 3.0 * big  # + entry rgbfeat MLP passes
     _, _, peak_gb = chip_specs()
     return {
         "total_gb": round(total / 1e9, 1),
         "fused_ra": fused_ra, "fused_vt": fused_vt,
+        "fused_chain": fused_chain,
         "floor_s": round(total / (peak_gb * 1e9), 3) if peak_gb else None,
     }
 

@@ -4,6 +4,7 @@ process. Fast Mosaic-compile feedback before the e2e probe_vtfused run.
 
 Usage: python scripts/probe_fused_agg.py [V R S]
 """
+import functools
 import os
 import sys
 import time
@@ -51,6 +52,13 @@ def main():
             fused_vt_lp=os.environ.get("NERFOOL_VT_LANEPACK", "0") == "1",
         ).apply({"params": p}, *a)),
     }
+    if os.environ.get("PROBE_FUSED_CHAIN", "0") == "1":
+        # whole-chain kernel instead, at PROBE_CHAIN_TILE rays per tile
+        from nerfool_tpu.ops.chain_kernel import fused_chain_aggregate
+
+        tile = int(os.environ.get("PROBE_CHAIN_TILE", "8"))
+        fns["fused"] = jax.jit(functools.partial(
+            fused_chain_aggregate, depth=8, rays_tile=tile))
     args = (params, rgb_feat, ray_diff, mask, pts, ray_d)
     outs = {}
     for name, fn in fns.items():

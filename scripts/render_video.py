@@ -47,6 +47,13 @@ def main():
         import dataclasses
 
         render_cfg = dataclasses.replace(render_cfg, gnt_fused_attn=True)
+    cmode = getattr(args, "gnt_fused_chain", "auto")
+    if (args.backbone == "gnt" and cmode != "off"
+            and (cmode == "on" or jax.default_backend() == "tpu")):
+        # whole-chain kernel: the fused variant that wins e2e (battery5)
+        import dataclasses
+
+        render_cfg = dataclasses.replace(render_cfg, gnt_fused_chain=True)
 
     out_dir = os.path.join(args.eval_dataset, args.expname + "_video", scene)
     os.makedirs(out_dir, exist_ok=True)

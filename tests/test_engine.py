@@ -502,3 +502,24 @@ def test_view_specific_attack_spg(tmp_path, small_kwargs):
     out = str(tmp_path / "out_spg")
     results = ev.evaluate(out_dir=out, verbose=False, max_views=1)
     assert results[args.eval_dataset]["coarse_mean_psnr"] > 0
+
+
+def test_gnt_fused_chain_engine_clean_eval_matches(tmp_path, small_kwargs):
+    """Clean GNT eval through the real evaluator with --gnt_fused_chain on
+    (whole-chain Pallas kernel, interpret mode on CPU) reproduces the
+    XLA-path PSNR — the production-path guard for the chain kernel."""
+    from nerfool_tpu.attack.engine import AdvEvaluator
+
+    psnr = {}
+    for mode in ("off", "on"):
+        args = _engine_args(tmp_path, backbone="gnt", trans_depth="2",
+                            ret_alpha=True, gnt_fused_chain=mode)
+        args.N_importance = 0
+        args.view_specific = False
+        args.no_attack = True
+        ev = AdvEvaluator(args, dataset_kwargs=small_kwargs)
+        results = ev.evaluate(out_dir=None, save_images=False, verbose=False,
+                              max_views=1)
+        psnr[mode] = results[args.eval_dataset]["coarse_mean_psnr"]
+    assert np.isfinite(psnr["off"])
+    np.testing.assert_allclose(psnr["on"], psnr["off"], rtol=0, atol=5e-3)
