@@ -218,6 +218,11 @@ def fused_gnt_chain(params, rgb_feat, ray_diff, mask, pts_emb, views_emb,
     dt = rgb_feat.dtype
     cast = lambda a: jnp.asarray(a, dt)
     d = params["rgbfeat_fc1"]["kernel"].shape[0]
+    # NOTE: bf16 is the production dtype. f32 doubles every VMEM-resident
+    # buffer and exceeds the scoped limit at flagship (V=10, S=192, tile 8);
+    # tiles below 8 are invalid (the [tr, S] attn0 block needs an
+    # 8-divisible second-minor dim). f32 callers must shrink S or V —
+    # render_rays gates the production route to bf16.
 
     def row(b):  # biases as [1, n] rows (2-D VMEM operands)
         return cast(b).reshape(1, -1)

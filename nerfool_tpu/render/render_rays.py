@@ -115,10 +115,13 @@ def make_shade_fn(model, cfg: RenderConfig) -> Callable:
     else:
         def shade(agg_params, agg_module, rgb_feat, ray_diff, mask, pts, ray_d,
                   inputs_packed=False):
+            # bf16-only: f32 doubles the kernel's VMEM residency past the
+            # scoped limit at flagship shapes (f32/f64 renders are
+            # parity-protocol runs — they keep the XLA path)
             if (cfg.gnt_fused_chain and not inputs_packed
                     and getattr(agg_module, "ray_fold", 1) != 2
                     and getattr(agg_module, "sample_fold", 1) != 2
-                    and jnp.dtype(rgb_feat.dtype) != jnp.float64):
+                    and jnp.dtype(rgb_feat.dtype) == jnp.bfloat16):
                 from nerfool_tpu.ops.chain_kernel import fused_chain_aggregate
 
                 return fused_chain_aggregate(

@@ -158,11 +158,15 @@ def main():
     from nerfool_tpu.models.gnt import GNTAggregator
     from nerfool_tpu.ops.chain_kernel import fused_chain_aggregate
 
-    for dt, tol, r in ((jnp.bfloat16, 3e-2, 512), (jnp.float32, 2e-5, 128)):
-        rf = jnp.asarray(rng.randn(N_SRC, r, S, 35), dt)
-        rd = jnp.asarray(rng.randn(N_SRC, r, S, 4), dt)
-        mk = jnp.asarray(rng.rand(N_SRC, r, S, 1) > 0.2, dt)
-        pts = jnp.asarray(rng.randn(r, S, 3), dt)
+    # bf16 row at flagship S (the production dtype); the f32 lowering row
+    # runs at S/2 — f32 doubles the kernel's VMEM residency past the scoped
+    # limit at S=192 (bf16-only in production; render_rays gates on dtype)
+    for dt, tol, r, s_row in ((jnp.bfloat16, 3e-2, 512, S),
+                              (jnp.float32, 2e-5, 128, S // 2)):
+        rf = jnp.asarray(rng.randn(N_SRC, r, s_row, 35), dt)
+        rd = jnp.asarray(rng.randn(N_SRC, r, s_row, 4), dt)
+        mk = jnp.asarray(rng.rand(N_SRC, r, s_row, 1) > 0.2, dt)
+        pts = jnp.asarray(rng.randn(r, s_row, 3), dt)
         rayd = jnp.asarray(rng.randn(r, 3), dt)
         mod = GNTAggregator(in_feat_ch=32, netwidth=64, trans_depth=8,
                             ret_alpha=True)
@@ -178,7 +182,8 @@ def main():
                                                  rayd)
         sfx = "bf16" if dt == jnp.bfloat16 else "f32"
         record(f"chain_{sfx}", *diff(got, ref), tol,
-               {"shape": [N_SRC, r, S, 64], "depth": 8})
+               {"shape": [N_SRC, r, s_row, 64], "depth": 8})
+    del rf, rd, mk, pts, rayd, ref, got, params  # free HBM for the renders
 
     # ---- BSPG selection kernel: whole-segment flagship render vs per-tap
     import dataclasses
@@ -234,14 +239,20 @@ def main():
     # by accumulation order.
     for rdt, rtol in (("bfloat16", 2e-2), ("float32", 1e-3)):
         outs = {}
+        # f32 at a quarter of the rays (still 512 pixel blocks): the f32
+        # fine pass at larger segments exhausts HBM in this many-section
+        # process
+        rsub = sub if rdt == "bfloat16" else {
+            k: (v[:seg // 4] if k in ("ray_o", "ray_d") else v)
+            for k, v in sub.items()}
         for name, cfg in (("pertap", base),
                           ("bspg", dataclasses.replace(
                               base, bspg_specs=specs, bspg_pallas=True))):
             cfg = dataclasses.replace(cfg, compute_dtype=rdt)
             t0 = time.perf_counter()
             ret = _render_blocked_jit(bundle.render_params, bundle.modules,
-                                      sub, feats, cfg, src_rgbs, src_cams_j,
-                                      CHUNK, None, None)
+                                      rsub, feats, cfg, src_rgbs,
+                                      src_cams_j, CHUNK, None, None)
             outs[name] = np.asarray(jnp.asarray(
                 ret["outputs_coarse"]["rgb"], jnp.float32))
             outs[name + "_fine"] = np.asarray(jnp.asarray(

@@ -512,8 +512,11 @@ def test_gnt_fused_chain_engine_clean_eval_matches(tmp_path, small_kwargs):
 
     psnr = {}
     for mode in ("off", "on"):
+        # bf16 compute: the chain kernel is bf16-only (VMEM budget); both
+        # modes compare at the same dtype
         args = _engine_args(tmp_path, backbone="gnt", trans_depth="2",
-                            ret_alpha=True, gnt_fused_chain=mode)
+                            ret_alpha=True, gnt_fused_chain=mode,
+                            compute_dtype="bfloat16")
         args.N_importance = 0
         args.view_specific = False
         args.no_attack = True
