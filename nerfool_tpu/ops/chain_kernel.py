@@ -29,7 +29,11 @@ sample_fold=1, ray_fold=1; reference transformer_network.py:205-309):
 
 VMEM budget per tile (Tr rays, S samples, V views, D=64, bf16): the resident
 view-side operands are V*Tr*S*(C_in+4+1+2*D) plus per-stage temporaries —
-Tr=8, S=192, V=10 stays well under the 100 MB scoped limit.
+Tr=8, S=192, V=10 stays well under the 100 MB scoped limit. The gathered
+taps arrive MERGED: one [V, R, S, C_in+5] operand (rgb_feat | ray_diff |
+mask) and one [R, S, 126] embedding operand — three lane-padded tile
+buffers and a 2-byte-chunk mask DMA become one 40-lane stream (round-5
+operand-delivery fix; the concats fuse into the gather epilogue).
 
 Forward-only, no-grad render paths only (like the vt kernel). f64 callers
 must use the XLA module path (render_rays gates on dtype).
@@ -61,7 +65,7 @@ def _ln(x, g, b, eps):
     return (xc * inv) * g + b
 
 
-def _chain_kernel(rf_ref, rd_ref, mask_ref, pe_ref, ve_ref,
+def _chain_kernel(packed_ref, emb_ref,
                   e0_ref, e0b_ref, e1_ref, e1b_ref,
                   vtln1_ref, vtwq_ref, vtwkv_ref, vtp0_ref, vtp0b_ref,
                   vtp1_ref, vtp1b_ref, vta0_ref, vta0b_ref, vta1_ref,
@@ -70,24 +74,35 @@ def _chain_kernel(rf_ref, rd_ref, mask_ref, pe_ref, ve_ref,
                   qf0q_ref, qf0p_ref, qf0v_ref, qf0b_ref, qf1_ref, qf1b_ref,
                   raln1_ref, raqkv_ref, rawo_ref, rawob_ref, raln2_ref,
                   raf1_ref, raf1b_ref, raf2_ref, raf2b_ref,
-                  qout_ref, attn0_ref, *, depth, n_heads, s_valid):
-    dt = rf_ref.dtype
+                  qout_ref, attn0_ref, *, depth, n_heads, s_valid, pe_w):
+    # operand delivery (round 5): the gathered taps arrive as ONE merged
+    # [V, Tr, S, ci+4+1] operand (rgb_feat | ray_diff | mask) and the two
+    # NeRF embeddings as ONE [Tr, S, 2*pe_w] operand. Three rank-4 streams
+    # each lane-padded to 128 in VMEM (35 / 4 / 1 channels -> ~11.8 MB of
+    # padded tile buffers, the mask a 2-byte-chunk DMA) become one 40-lane
+    # stream (~3.9 MB) plus one 126-lane stream — fewer custom-call
+    # boundary buffers, denser DMAs. Channels are split by static lane
+    # slices here.
+    dt = packed_ref.dtype
     prec = _prec(dt)
-    v, tr, s, ci = rf_ref.shape
+    v, tr, s, ctot = packed_ref.shape
+    ci = ctot - 5
     d = e1_ref.shape[0]
     hd = d // n_heads
     rows = tr * s
 
     # ---- entry: rgbfeat_fc + max-pool over views
-    rf = rf_ref[...].reshape(v * rows, ci)
+    packed = packed_ref[...]
+    rf = packed[..., :ci].reshape(v * rows, ci)
     x = jnp.maximum(_mm(rf, e0_ref[...], prec) + e0b_ref[...], 0)
     x = _mm(x, e1_ref[...], prec) + e1b_ref[...]          # [V*rows, D]
     q = jnp.max(x.reshape(v, rows, d), axis=0)            # [rows, D]
 
-    pe = pe_ref[...].reshape(rows, -1)
-    ve = ve_ref[...].reshape(rows, -1)
-    rd = rd_ref[...].reshape(v * rows, -1)
-    mask_f = mask_ref[...].reshape(v * rows, 1).astype(jnp.float32)
+    emb = emb_ref[...]
+    pe = emb[..., :pe_w].reshape(rows, pe_w)
+    ve = emb[..., pe_w:].reshape(rows, emb.shape[-1] - pe_w)
+    rd = packed[..., ci:ci + 4].reshape(v * rows, 4)
+    mask_f = packed[..., ci + 4:].reshape(v * rows, 1).astype(jnp.float32)
     neg = jnp.asarray(-1e9, dt)
 
     kpad = None
@@ -295,17 +310,21 @@ def fused_gnt_chain(params, rgb_feat, ray_diff, mask, pts_emb, views_emb,
         raf2b=ra("ff", "fc2", "bias")[:, None, :],
     )
 
+    # ---- merge the gathered operands (see _chain_kernel's delivery note):
+    # the concats fuse into the gather epilogue, so the custom call sees one
+    # dense [V, R, S, ci+5] buffer instead of three lane-padded ones
+    packed = jnp.concatenate(
+        [cast(rgb_feat), cast(ray_diff), cast(mask)], axis=-1)
+    emb = jnp.concatenate([cast(pts_emb), cast(views_emb)], axis=-1)
+
     # ---- pad rays to the tile and samples to sublane multiples
     tr = rays_tile
     rpad = -(-r // tr) * tr
     spad = -(-s // 8) * 8
-    pad_rs = ((0, 0), (0, rpad - r), (0, spad - s), (0, 0))
     if (rpad, spad) != (r, s):
-        rgb_feat = jnp.pad(rgb_feat, pad_rs)
-        ray_diff = jnp.pad(ray_diff, pad_rs)
-        mask = jnp.pad(mask, pad_rs)
-        pts_emb = jnp.pad(pts_emb, ((0, rpad - r), (0, spad - s), (0, 0)))
-        views_emb = jnp.pad(views_emb, ((0, rpad - r), (0, spad - s), (0, 0)))
+        packed = jnp.pad(packed,
+                         ((0, 0), (0, rpad - r), (0, spad - s), (0, 0)))
+        emb = jnp.pad(emb, ((0, rpad - r), (0, spad - s), (0, 0)))
 
     names = list(args)
 
@@ -317,16 +336,12 @@ def fused_gnt_chain(params, rgb_feat, ray_diff, mask, pts_emb, views_emb,
     grid = (rpad // tr,)
     qout, attn0 = pl.pallas_call(
         functools.partial(_chain_kernel, depth=depth, n_heads=n_heads,
-                          s_valid=s),
+                          s_valid=s, pe_w=pts_emb.shape[-1]),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((vv, tr, spad, ci), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((vv, tr, spad, ray_diff.shape[-1]),
+            pl.BlockSpec((vv, tr, spad, packed.shape[-1]),
                          lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((vv, tr, spad, 1), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((tr, spad, pts_emb.shape[-1]), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tr, spad, views_emb.shape[-1]),
-                         lambda i: (i, 0, 0)),
+            pl.BlockSpec((tr, spad, emb.shape[-1]), lambda i: (i, 0, 0)),
         ] + wspecs,
         out_specs=[
             pl.BlockSpec((tr, spad, d), lambda i: (i, 0, 0)),
@@ -339,8 +354,7 @@ def fused_gnt_chain(params, rgb_feat, ray_diff, mask, pts_emb, views_emb,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
-    )(cast(rgb_feat), cast(ray_diff), cast(mask), cast(pts_emb),
-      cast(views_emb), *[args[n] for n in names])
+    )(packed, emb, *[args[n] for n in names])
     return qout[:r, :s], attn0[:r, :s]
 
 
